@@ -6,25 +6,46 @@ structural analysis of the reference), re-designed TPU-first:
 
 - the serial per-token resampling loop (``LdaModel.sampleTopicZ`` in
   ``src/liuyang/nlp/lda/main/LdaModel.java``) becomes a vectorized blocked-Gibbs
-  sweep (``ops/``) with an optional fused Pallas kernel;
+  sweep (``ops/``) with a fused Pallas kernel on TPU;
 - documents shard across chips AD-LDA style with the global word-topic count
   matrix reconciled by ``psum`` over the mesh (``parallel/``);
 - additional CVB0 / SVI / SMC backends (``backends/``), held-out perplexity and
   R-hat diagnostics (``evaluation/``), orbax checkpointing and reference-format
-  artifact export (``io/``).
+  artifact export (``lda_io/``).
+
+Public symbols are re-exported lazily so subpackages remain importable while the
+framework grows (and so importing the root does not pull in jax for pure-corpus
+use).
 """
 
-from ldagibbssampling_tpu.config import LdaConfig
-from ldagibbssampling_tpu.corpus import Documents, FlatCorpus
-from ldagibbssampling_tpu.models import LdaModel, SamplerState
+from __future__ import annotations
 
-__version__ = "0.1.0"
+import importlib
+from typing import Any
 
-__all__ = [
-    "LdaConfig",
-    "Documents",
-    "FlatCorpus",
-    "LdaModel",
-    "SamplerState",
-    "__version__",
-]
+__version__ = "0.2.0"
+
+# symbol -> submodule that defines it (resolved lazily via PEP 562 __getattr__)
+_EXPORTS = {
+    "LdaConfig": "ldagibbssampling_tpu.config",
+    "Documents": "ldagibbssampling_tpu.corpus.documents",
+    "Document": "ldagibbssampling_tpu.corpus.documents",
+    "FlatCorpus": "ldagibbssampling_tpu.corpus.flat",
+    "SamplerState": "ldagibbssampling_tpu.models.state",
+    "LdaModel": "ldagibbssampling_tpu.models.lda",
+    "OracleSampler": "ldagibbssampling_tpu.models.oracle",
+    "JavaRandom": "ldagibbssampling_tpu.utils.javarandom",
+}
+
+__all__ = sorted(_EXPORTS) + ["__version__"]
+
+
+def __getattr__(name: str) -> Any:
+    mod = _EXPORTS.get(name)
+    if mod is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    return getattr(importlib.import_module(mod), name)
+
+
+def __dir__() -> list[str]:
+    return __all__
