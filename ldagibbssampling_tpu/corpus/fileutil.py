@@ -2,10 +2,13 @@
 
 Behavioral parity with the reference's ``com/FileUtil.java`` (see SURVEY.md §2.1 #4):
 ``readLines`` / ``writeLines`` / ``tokenizeAndLowerCase`` / ``mkdir``.  The reference
-tokenizes with ``java.util.StringTokenizer`` — i.e. a plain whitespace split with
-empty tokens dropped — then lowercases and trims.  We reproduce exactly that
-semantics (``str.split()`` with no argument has the same drop-empty whitespace-run
-behavior as ``StringTokenizer``'s default delimiter set ``" \t\n\r\f"``).
+tokenizes with ``java.util.StringTokenizer`` — i.e. a split on runs of the default
+delimiter set ``" \t\n\r\f"`` with empty tokens dropped — then lowercases and trims.
+Note Python's argless ``str.split()`` is *broader* than that (it also splits on
+``\x0b`` and Unicode whitespace such as U+00A0); ``_split_java`` below exists
+precisely because of that difference.  Likewise Java ``String.trim()`` strips all
+leading/trailing chars with code point <= U+0020 (not Unicode whitespace), which
+``_java_trim`` reproduces.
 """
 
 from __future__ import annotations
@@ -24,7 +27,7 @@ def read_lines(path: str | Path) -> List[str]:
     UTF-8 with replacement so a stray byte never crashes ingestion.
     """
     with open(path, "r", encoding="utf-8", errors="replace") as f:
-        return [line.rstrip("\n").rstrip("\r") for line in f]
+        return [line.rstrip("\n") for line in f]
 
 
 def write_lines(path: str | Path, lines: Iterable[object]) -> None:
@@ -42,8 +45,28 @@ def tokenize(line: str) -> List[str]:
 
 
 def tokenize_and_lowercase(line: str) -> List[str]:
-    """Whitespace tokenize + lowercase + trim (``FileUtil.tokenizeAndLowerCase``)."""
-    return [tok.lower().strip() for tok in _split_java(line)]
+    """Whitespace tokenize + lowercase + trim (``FileUtil.tokenizeAndLowerCase``).
+
+    Lowercasing uses ``str.lower()`` — locale-independent, matching Java
+    ``toLowerCase()`` under the root locale for the ASCII corpora this pipeline
+    targets.  Trimming is Java ``trim()`` semantics (see ``_java_trim``).
+    """
+    return [_java_trim(tok.lower()) for tok in _split_java(line)]
+
+
+def _java_trim(s: str) -> str:
+    """Java ``String.trim()``: strip leading/trailing chars with ord <= 0x20.
+
+    Differs from ``str.strip()`` both ways: trim removes control chars like
+    ``\\x01`` (strip keeps them) and keeps Unicode whitespace like U+00A0
+    (strip removes it).
+    """
+    start, end = 0, len(s)
+    while start < end and ord(s[start]) <= 0x20:
+        start += 1
+    while end > start and ord(s[end - 1]) <= 0x20:
+        end -= 1
+    return s[start:end]
 
 
 def _split_java(line: str) -> List[str]:

@@ -1,0 +1,111 @@
+"""Flat (CSR/ragged) corpus layout — the device-facing data structure.
+
+The reference stores the corpus as a ragged Java array ``doc[M][N_m]``
+(``LdaModel.initializeModel``, SURVEY.md §3.2) and walks it token-by-token.
+A TPU engine wants *flat, statically-shaped* arrays instead: one token stream
+with parallel word/doc id arrays and a CSR-style ``doc_ptr`` for per-document
+slicing.  Token order is identical to the reference's systematic scan order
+(doc-major, within-doc original token order), so a serial sweep over the flat
+arrays visits exactly the reference's ``(m, n)`` sequence.
+
+``pad_to`` produces block-aligned arrays for the blocked-Gibbs sweep: padding
+tokens carry ``token_mask == 0`` and are ignored by the sampler's count updates.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import TYPE_CHECKING, List, Sequence
+
+import numpy as np
+
+if TYPE_CHECKING:  # pragma: no cover
+    from ldagibbssampling_tpu.corpus.documents import Documents
+
+
+@dataclasses.dataclass(frozen=True)
+class FlatCorpus:
+    """Flattened corpus: ``token_word[T]``, ``token_doc[T]``, ``doc_ptr[M+1]``."""
+
+    token_word: np.ndarray  # int32 [T] — vocab id of each token
+    token_doc: np.ndarray   # int32 [T] — document id of each token
+    doc_ptr: np.ndarray     # int32 [M+1] — CSR offsets; doc m is tokens [ptr[m], ptr[m+1])
+    vocab_size: int
+    vocab: tuple[str, ...] = ()  # index → term (may be empty for bag-of-words corpora)
+
+    # ------------------------------------------------------------------
+    @property
+    def num_tokens(self) -> int:
+        return int(self.token_word.shape[0])
+
+    @property
+    def num_docs(self) -> int:
+        return int(self.doc_ptr.shape[0]) - 1
+
+    def doc_tokens(self, m: int) -> np.ndarray:
+        return self.token_word[self.doc_ptr[m] : self.doc_ptr[m + 1]]
+
+    def doc_lengths(self) -> np.ndarray:
+        return np.diff(self.doc_ptr)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_documents(cls, docs: "Documents") -> "FlatCorpus":
+        """Flatten a ``Documents`` corpus, preserving reference token order."""
+        ragged = [d.doc_words for d in docs.docs]
+        return cls.from_ragged(ragged, docs.vocab_size, vocab=tuple(docs.index_to_term))
+
+    @classmethod
+    def from_ragged(
+        cls,
+        ragged: Sequence[Sequence[int]],
+        vocab_size: int,
+        vocab: tuple[str, ...] = (),
+    ) -> "FlatCorpus":
+        lengths = [len(d) for d in ragged]
+        doc_ptr = np.zeros(len(ragged) + 1, dtype=np.int32)
+        np.cumsum(lengths, out=doc_ptr[1:])
+        total = int(doc_ptr[-1])
+        token_word = np.zeros(total, dtype=np.int32)
+        token_doc = np.zeros(total, dtype=np.int32)
+        for m, d in enumerate(ragged):
+            s, e = doc_ptr[m], doc_ptr[m + 1]
+            token_word[s:e] = np.asarray(d, dtype=np.int32)
+            token_doc[s:e] = m
+        return cls(token_word, token_doc, doc_ptr, vocab_size, vocab)
+
+    def to_ragged(self) -> List[List[int]]:
+        return [list(map(int, self.doc_tokens(m))) for m in range(self.num_docs)]
+
+    # ------------------------------------------------------------------
+    def pad_to(self, multiple: int) -> "PaddedCorpus":
+        """Pad the token stream to a multiple of ``multiple`` tokens.
+
+        Padding tokens get word id 0 / doc id 0 and mask 0; samplers must apply
+        the mask so padding never perturbs the count tables.
+        """
+        t = self.num_tokens
+        padded = ((t + multiple - 1) // multiple) * multiple if t else multiple
+        word = np.zeros(padded, dtype=np.int32)
+        doc = np.zeros(padded, dtype=np.int32)
+        mask = np.zeros(padded, dtype=np.int32)
+        word[:t] = self.token_word
+        doc[:t] = self.token_doc
+        mask[:t] = 1
+        return PaddedCorpus(word, doc, mask, t, self.vocab_size, self.num_docs)
+
+
+@dataclasses.dataclass(frozen=True)
+class PaddedCorpus:
+    """Block-aligned token stream for the device sweep (padding masked out)."""
+
+    token_word: np.ndarray  # int32 [T_pad]
+    token_doc: np.ndarray   # int32 [T_pad]
+    token_mask: np.ndarray  # int32 [T_pad] — 1 for real tokens, 0 for padding
+    num_real_tokens: int
+    vocab_size: int
+    num_docs: int
+
+    @property
+    def num_tokens(self) -> int:
+        return int(self.token_word.shape[0])
