@@ -1,0 +1,96 @@
+"""Benchmark: tokens resampled/s/chip at K=500 (the BASELINE.md north star).
+
+Runs the blocked collapsed-Gibbs sweep on the real device (whatever jax
+defaults to — the TPU under the driver, CPU if forced) over a synthetic
+Zipf-distributed corpus sized like the reference ladder's mid rungs.
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": N, "unit": "tokens/s", "vs_baseline": N}
+
+``vs_baseline`` is measured against the top of BASELINE.md's estimated serial
+Java throughput at K=500 (~2·10^4 tokens/s on one x86 core — the generous end,
+so the ratio is conservative).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# benchmark shape (overridable for smoke runs: bench.py [tokens] [topics])
+NUM_TOKENS = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 20   # ~1.05M
+NUM_TOPICS = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+VOCAB = 50_000
+NUM_DOCS = 4_096
+BLOCK_SIZE = int(os.environ.get("LDA_BENCH_BLOCK", 16_384))
+TIMED_SWEEPS = int(os.environ.get("LDA_BENCH_SWEEPS", 3))
+BASELINE_TOKENS_PER_S = 2e4  # BASELINE.md serial-Java estimate, upper end
+
+
+def synth_corpus(t: int, v: int, m: int, seed: int = 0):
+    """Zipf-ish synthetic corpus as flat arrays (no host ragged build at scale)."""
+    rng = np.random.default_rng(seed)
+    # word ids: Zipf(1.1) truncated to V — realistic skew for count gathers
+    raw = rng.zipf(1.1, size=t).astype(np.int64)
+    token_word = ((raw - 1) % v).astype(np.int32)
+    # doc ids: contiguous equal-size docs
+    token_doc = (np.arange(t, dtype=np.int64) * m // t).astype(np.int32)
+    doc_lengths = np.bincount(token_doc, minlength=m).astype(np.int32)
+    return token_word, token_doc, doc_lengths
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from ldagibbssampling_tpu.models.state import init_state
+    from ldagibbssampling_tpu.ops.gibbs import make_sweep_fn
+
+    dev = jax.devices()[0]
+    t = (NUM_TOKENS // BLOCK_SIZE) * BLOCK_SIZE
+    tw, td, dl = synth_corpus(t, VOCAB, NUM_DOCS)
+    tm = np.ones(t, dtype=np.int32)
+
+    state = init_state(
+        tw, td, tm, num_docs=NUM_DOCS, vocab_size=VOCAB,
+        num_topics=NUM_TOPICS, seed=0,
+    )
+    run = make_sweep_fn(
+        tw, td, tm, dl, alpha=0.5, beta=0.1,
+        block_size=BLOCK_SIZE, draw_method="gumbel", num_sweeps=1,
+    )
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    state = run(state)
+    jax.block_until_ready(state.z)
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(TIMED_SWEEPS):
+        state = run(state)
+    jax.block_until_ready(state.z)
+    dt = time.perf_counter() - t0
+
+    tokens_per_s = TIMED_SWEEPS * t / dt
+    result = {
+        "metric": f"tokens_resampled_per_s_chip_K{NUM_TOPICS}",
+        "value": round(tokens_per_s, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(tokens_per_s / BASELINE_TOKENS_PER_S, 2),
+    }
+    print(
+        f"# device={dev.platform}:{dev} T={t} K={NUM_TOPICS} V={VOCAB} "
+        f"block={BLOCK_SIZE} compile={compile_s:.1f}s "
+        f"timed={TIMED_SWEEPS} sweeps in {dt:.2f}s",
+        file=sys.stderr,
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""Command-line driver.
+
+Reference: ``LdaGibbsSampling.main`` (``src/liuyang/nlp/lda/main/
+LdaGibbsSampling.java``, SURVEY.md §3.1) — load parameters (file overrides code
+defaults), ingest the docs directory, create the results directory, initialize,
+run the sweep loop with periodic saves, dump the final model.  The reference's
+compile-time path constants (``conf/PathConfig.java``) become CLI flags with
+the same defaults; its stage banners are reproduced on stdout.
+
+Usage:
+    python -m ldagibbssampling_tpu.cli --docs data/LdaOriginalDocs \\
+        --results data/LdaResults [--params data/LdaParameters.txt] [overrides]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+from ldagibbssampling_tpu.config import LdaConfig
+from ldagibbssampling_tpu.corpus.documents import Documents
+from ldagibbssampling_tpu.corpus.flat import FlatCorpus
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="lda-tpu", description="TPU-native collapsed-Gibbs LDA trainer"
+    )
+    # reference PathConfig defaults
+    ap.add_argument("--docs", default="data/LdaOriginalDocs/", help="corpus directory")
+    ap.add_argument("--results", default="data/LdaResults/", help="artifact output directory")
+    ap.add_argument("--params", default=None, help="reference-format tab-separated parameter file")
+    ap.add_argument("--config-json", default=None, help="engine-native JSON config file")
+    # the six reference knobs as overrides
+    ap.add_argument("--alpha", type=float, default=None)
+    ap.add_argument("--beta", type=float, default=None)
+    ap.add_argument("--topics", "-k", dest="topic_num", type=int, default=None)
+    ap.add_argument("--iterations", dest="iteration", type=int, default=None)
+    ap.add_argument("--save-step", dest="save_step", type=int, default=None)
+    ap.add_argument("--begin-save-iters", dest="begin_save_iters", type=int, default=None)
+    # engine knobs
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--sampler", choices=["blocked", "serial"], default=None)
+    ap.add_argument("--backend", choices=["gibbs", "cvb0", "svi", "smc"], default=None)
+    ap.add_argument("--block-size", dest="block_size", type=int, default=None)
+    ap.add_argument("--draw-method", dest="draw_method",
+                    choices=["gumbel", "inverse_cdf"], default=None)
+    ap.add_argument("--generate-minicorpus", action="store_true",
+                    help="populate --docs with the deterministic stand-in corpus first")
+    ap.add_argument("--no-save", action="store_true",
+                    help="skip artifact writing (timing / benchmark runs)")
+    return ap
+
+
+_OVERRIDE_FIELDS = (
+    "alpha", "beta", "topic_num", "iteration", "save_step", "begin_save_iters",
+    "seed", "sampler", "backend", "block_size", "draw_method",
+)
+
+
+def config_from_args(args: argparse.Namespace) -> LdaConfig:
+    if args.config_json:
+        cfg = LdaConfig.from_json(args.config_json)
+    elif args.params:
+        cfg = LdaConfig.from_reference_parameter_file(args.params)
+    else:
+        cfg = LdaConfig()
+    overrides = {
+        f: getattr(args, f) for f in _OVERRIDE_FIELDS if getattr(args, f) is not None
+    }
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+
+    docs_dir = Path(args.docs)
+    if args.generate_minicorpus:
+        from ldagibbssampling_tpu.data import write_minicorpus
+
+        write_minicorpus(docs_dir)
+    if not docs_dir.is_dir():
+        print(f"error: docs directory {docs_dir} does not exist "
+              "(use --generate-minicorpus for the stand-in corpus)", file=sys.stderr)
+        return 2
+
+    docs = Documents().read_docs(docs_dir)
+    print(f"wordMap size {docs.vocab_size}")
+    if docs.total_tokens == 0:
+        print("error: corpus has no tokens after preprocessing", file=sys.stderr)
+        return 2
+    corpus = FlatCorpus.from_documents(docs)
+
+    result_dir = None if args.no_save else Path(args.results)
+    if result_dir is not None:
+        # fail the reference guard before any device work
+        try:
+            cfg.validate_reference_guard()
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        result_dir.mkdir(parents=True, exist_ok=True)
+
+    from ldagibbssampling_tpu.models.lda import LdaModel
+
+    print("1 Initialize the model ...")
+    model = LdaModel(cfg, corpus)
+
+    print("2 Learning and Saving the model ...")
+    t0 = time.perf_counter()
+
+    def progress(i: int) -> None:
+        print(f"Iteration {i}")
+
+    try:
+        model.inference(result_dir, progress=progress)
+    except ValueError as e:
+        # the reference's iterations < saveStep + beginSaveIters guard hard-exits
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    dt = time.perf_counter() - t0
+
+    print("3 Output the final model ...")
+    if result_dir is not None:
+        model.save_iterated_model(cfg.iteration, result_dir)
+    tokens = corpus.num_tokens * cfg.iteration
+    print(f"Done: {cfg.iteration} sweeps over {corpus.num_tokens} tokens in "
+          f"{dt:.2f}s ({tokens / max(dt, 1e-9):,.0f} tokens resampled/s)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,132 @@
+"""High-level LDA model: the reference's driver flow on the TPU engine.
+
+Reference: ``LdaModel`` + ``LdaGibbsSampling.main`` (``src/liuyang/nlp/lda/
+main/``, SURVEY.md §3.1–§3.4).  ``LdaModel`` here owns corpus + config + device
+state and reproduces the reference control flow:
+
+    initialize (random topics, count tables)            initializeModel :~55
+    sweep loop with periodic artifact saves             inferenceModel  :~100
+    final artifact dump                                 saveIteratedModel :~190
+
+The hot loop runs as the blocked-Gibbs device sweep (``ops/gibbs.py``), jitted
+once and reused; the serial ``sampler="serial"`` mode runs the Java-fidelity
+host oracle instead (bit-stable chain for parity work).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable, Optional
+
+import numpy as np
+
+from ldagibbssampling_tpu.config import LdaConfig
+from ldagibbssampling_tpu.corpus.flat import FlatCorpus
+from ldagibbssampling_tpu.lda_io.artifacts import save_iterated_model
+from ldagibbssampling_tpu.models import state as state_lib
+from ldagibbssampling_tpu.models.oracle import OracleSampler
+
+
+class LdaModel:
+    """Collapsed-Gibbs LDA over a flat corpus (single chain, single device)."""
+
+    def __init__(self, config: LdaConfig, corpus: FlatCorpus) -> None:
+        self.config = config
+        self.corpus = corpus
+        self.doc_lengths = corpus.doc_lengths()
+        self._oracle: Optional[OracleSampler] = None
+
+        if config.sampler == "serial":
+            self._oracle = OracleSampler(
+                corpus, config.topic_num, config.alpha, config.beta, seed=config.seed
+            )
+            self.state = None
+            self._run_sweeps = None
+        else:
+            block = max(1, min(config.block_size, max(1, corpus.num_tokens)))
+            self.block_size = block
+            pc = corpus.pad_to(block)
+            self._padded = pc
+            self.state = state_lib.init_state(
+                pc.token_word, pc.token_doc, pc.token_mask,
+                num_docs=pc.num_docs, vocab_size=pc.vocab_size,
+                num_topics=config.topic_num, seed=config.seed,
+            )
+            from ldagibbssampling_tpu.ops.gibbs import make_sweep_fn
+
+            self._run_sweeps = make_sweep_fn(
+                pc.token_word, pc.token_doc, pc.token_mask, self.doc_lengths,
+                alpha=config.alpha, beta=config.beta, block_size=block,
+                draw_method=config.draw_method, num_sweeps=1,
+            )
+
+    # ------------------------------------------------------------------
+    def sweep(self, n: int = 1) -> None:
+        if self._oracle is not None:
+            self._oracle.sweep(n)
+        else:
+            for _ in range(n):
+                self.state = self._run_sweeps(self.state)
+
+    @property
+    def sweeps_done(self) -> int:
+        if self._oracle is not None:
+            return self._oracle.sweep_idx
+        return int(self.state.sweep)
+
+    # ------------------------------------------------------------------
+    def phi(self) -> np.ndarray:
+        if self._oracle is not None:
+            return self._oracle.phi()
+        phi, _ = state_lib.phi_theta(
+            self.state, self.doc_lengths, self.config.alpha, self.config.beta
+        )
+        return np.asarray(phi)
+
+    def theta(self) -> np.ndarray:
+        if self._oracle is not None:
+            return self._oracle.theta()
+        _, theta = state_lib.phi_theta(
+            self.state, self.doc_lengths, self.config.alpha, self.config.beta
+        )
+        return np.asarray(theta)
+
+    def z(self) -> np.ndarray:
+        """Topic assignments of the real (unpadded) tokens, corpus order."""
+        if self._oracle is not None:
+            return self._oracle.z.copy()
+        return np.asarray(self.state.z)[: self.corpus.num_tokens]
+
+    # ------------------------------------------------------------------
+    def save_iterated_model(self, iteration: int, result_dir: str | Path):
+        """Dump the five reference artifacts (``saveIteratedModel``)."""
+        return save_iterated_model(
+            result_dir, iteration, self.phi(), self.theta(), self.z(),
+            self.corpus, self.config,
+        )
+
+    def inference(
+        self,
+        result_dir: Optional[str | Path] = None,
+        progress: Optional[Callable[[int], None]] = None,
+    ) -> None:
+        """The reference's ``inferenceModel`` loop, including the save schedule.
+
+        Saves happen when ``i >= beginSaveIters`` and ``(i - beginSaveIters) %
+        saveStep == 0`` (only when ``result_dir`` is given); the reference's
+        ``iterations < saveStep + beginSaveIters`` hard-exit guard is enforced
+        as a ValueError in that case.
+        """
+        cfg = self.config
+        if result_dir is not None:
+            cfg.validate_reference_guard()
+        for i in range(cfg.iteration):
+            if (
+                result_dir is not None
+                and i >= cfg.begin_save_iters
+                and (i - cfg.begin_save_iters) % cfg.save_step == 0
+            ):
+                self.save_iterated_model(i, result_dir)
+            self.sweep(1)
+            if progress is not None:
+                progress(i)

@@ -1,0 +1,212 @@
+"""Vectorized blocked collapsed-Gibbs sweep (jnp / XLA).
+
+This replaces the reference's serial per-token loop
+(``LdaModel.sampleTopicZ`` in ``src/liuyang/nlp/lda/main/LdaModel.java``,
+SURVEY.md §3.3) with a TPU-shaped computation: tokens are processed in blocks
+of ``block_size``; within a block every token's conditional is computed from a
+count *snapshot* (each token excludes only its own assignment), topics are
+drawn vectorized, and count deltas are applied with XLA scatter-adds.  The
+block loop runs under ``lax.fori_loop`` so the whole sweep is one compiled
+program — no host round-trips, no dynamic shapes.
+
+Chain semantics:
+
+- ``block_size == 1`` is the *exact* serial collapsed-Gibbs chain (every token
+  sees fully fresh counts), matching the reference's Markov kernel.
+- ``block_size > 1`` is blocked Gibbs: tokens within a block sample against
+  counts that are stale by at most the block — the standard AD-LDA-style
+  approximation whose stationary bias is validated statistically (SURVEY.md
+  §7 hard-part 3, tests/test_parity.py).
+
+Draw methods:
+
+- ``gumbel``: ``argmax(log p + Gumbel)`` — no normalization, no cumsum, the
+  TPU-friendly default.
+- ``inverse_cdf``: cumulative-sum inversion, matching the reference's
+  prefix-sum + linear-scan draw (step 3-4 of ``sampleTopicZ``).  With
+  caller-supplied per-token uniforms (``uniforms=``) and float64 this
+  reproduces the host oracle's trajectory — the fidelity harness.
+
+The conditional drops the ``(N_m - 1 + K·α)`` denominator in gumbel mode (it is
+constant across topics for a given token, so it cancels in the categorical);
+inverse-CDF mode keeps it so cumulative values match the oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ldagibbssampling_tpu.models.state import SamplerState
+
+
+def gibbs_sweep(
+    state: SamplerState,
+    token_word: jax.Array,
+    token_doc: jax.Array,
+    token_mask: jax.Array,
+    doc_lengths: jax.Array,
+    *,
+    alpha: float,
+    beta: float,
+    block_size: int,
+    draw_method: str = "gumbel",
+    uniforms: Optional[jax.Array] = None,
+    prob_dtype: Any = jnp.float32,
+) -> SamplerState:
+    """Run one full sweep (every token resampled once); returns the new state.
+
+    All shapes are static: ``token_*`` are padded to a multiple of
+    ``block_size`` (see ``FlatCorpus.pad_to``).  Eager calls hit a process-wide
+    jit cache keyed on shapes + the static knobs, so repeated sweeps do not
+    retrace.
+    """
+    t_pad = token_word.shape[0]
+    if t_pad % block_size != 0:
+        raise ValueError(f"padded token count {t_pad} not a multiple of block_size {block_size}")
+    if uniforms is None:
+        # dummy placeholder so the jitted signature is stable
+        uniforms = jnp.zeros((1,), prob_dtype)
+        has_uniforms = False
+    else:
+        has_uniforms = True
+    return _sweep_impl(
+        state, token_word, token_doc, token_mask, doc_lengths, uniforms,
+        alpha=float(alpha), beta=float(beta), block_size=block_size,
+        draw_method=draw_method, prob_dtype=jnp.dtype(prob_dtype).name,
+        has_uniforms=has_uniforms,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "alpha", "beta", "block_size", "draw_method", "prob_dtype", "has_uniforms"
+    ),
+)
+def _sweep_impl(
+    state: SamplerState,
+    token_word: jax.Array,
+    token_doc: jax.Array,
+    token_mask: jax.Array,
+    doc_lengths: jax.Array,
+    uniforms: jax.Array,
+    *,
+    alpha: float,
+    beta: float,
+    block_size: int,
+    draw_method: str,
+    prob_dtype: str,
+    has_uniforms: bool,
+) -> SamplerState:
+    prob_dtype = jnp.dtype(prob_dtype)
+    t_pad = token_word.shape[0]
+    num_blocks = t_pad // block_size
+    k = state.nwk.shape[1]
+    v = state.nwk.shape[0]
+    count_dtype = state.nwk.dtype
+
+    sweep_key = jax.random.fold_in(state.key, state.sweep)
+    alpha_c = jnp.asarray(alpha, prob_dtype)
+    beta_c = jnp.asarray(beta, prob_dtype)
+    vbeta = jnp.asarray(v * beta, prob_dtype)
+    kalpha = jnp.asarray(k * alpha, prob_dtype)
+
+    def body(i, carry):
+        z, ndk, nwk, nk = carry
+        start = i * block_size
+        w = lax.dynamic_slice(token_word, (start,), (block_size,))
+        d = lax.dynamic_slice(token_doc, (start,), (block_size,))
+        msk = lax.dynamic_slice(token_mask, (start,), (block_size,))
+        zold = lax.dynamic_slice(z, (start,), (block_size,))
+
+        onehot_old = jax.nn.one_hot(zold, k, dtype=count_dtype) * msk[:, None]
+        # Snapshot gathers + self-exclusion (decrement step of sampleTopicZ).
+        nwk_ex = (nwk[w] - onehot_old).astype(prob_dtype)
+        ndk_ex = (ndk[d] - onehot_old).astype(prob_dtype)
+        nk_ex = (nk[None, :] - onehot_old).astype(prob_dtype)
+
+        if draw_method == "gumbel":
+            logp = (
+                jnp.log(nwk_ex + beta_c)
+                + jnp.log(ndk_ex + alpha_c)
+                - jnp.log(nk_ex + vbeta)
+            )
+            g = jax.random.gumbel(
+                jax.random.fold_in(sweep_key, i), (block_size, k), dtype=prob_dtype
+            )
+            znew = jnp.argmax(logp + g, axis=-1).astype(zold.dtype)
+        elif draw_method == "inverse_cdf":
+            # Java op order: ((nwk+β)/(nk+Vβ) · (ndk+α)) / (N_m-1+Kα)
+            den = (doc_lengths[d].astype(prob_dtype) - 1.0 + kalpha)[:, None]
+            p = (nwk_ex + beta_c) / (nk_ex + vbeta) * (ndk_ex + alpha_c) / den
+            c = jnp.cumsum(p, axis=-1)
+            if has_uniforms:
+                u = lax.dynamic_slice(uniforms, (start,), (block_size,)).astype(prob_dtype)
+            else:
+                u = jax.random.uniform(
+                    jax.random.fold_in(sweep_key, i), (block_size,), dtype=prob_dtype
+                )
+            uscaled = u * c[:, -1]
+            # first k with u < c[k]  ==  number of k with c[k] <= u
+            znew = jnp.sum(c <= uscaled[:, None], axis=-1).astype(zold.dtype)
+            znew = jnp.minimum(znew, k - 1)
+        else:
+            raise ValueError(f"unknown draw_method {draw_method!r}")
+
+        znew = jnp.where(msk.astype(bool), znew, zold)
+        onehot_new = jax.nn.one_hot(znew, k, dtype=count_dtype) * msk[:, None]
+        delta = onehot_new - onehot_old  # [B, K]
+        # Scatter-adds accumulate over duplicate doc/word ids within the block.
+        ndk = ndk.at[d].add(delta)
+        nwk = nwk.at[w].add(delta)
+        nk = nk + delta.sum(axis=0, dtype=count_dtype)
+        z = lax.dynamic_update_slice(z, znew, (start,))
+        return z, ndk, nwk, nk
+
+    z, ndk, nwk, nk = lax.fori_loop(
+        0, num_blocks, body, (state.z, state.ndk, state.nwk, state.nk)
+    )
+    return SamplerState(
+        z=z, ndk=ndk, nwk=nwk, nk=nk, key=state.key, sweep=state.sweep + 1
+    )
+
+
+def make_sweep_fn(
+    token_word: Any,
+    token_doc: Any,
+    token_mask: Any,
+    doc_lengths: Any,
+    *,
+    alpha: float,
+    beta: float,
+    block_size: int,
+    draw_method: str = "gumbel",
+    num_sweeps: int = 1,
+):
+    """Build a jitted ``state -> state`` function running ``num_sweeps`` sweeps.
+
+    Token arrays are closed over as constants (they never change during
+    inference), so XLA can lay them out once; multiple sweeps run as a
+    ``lax.fori_loop`` inside one compilation.
+    """
+    tw = jnp.asarray(token_word, jnp.int32)
+    td = jnp.asarray(token_doc, jnp.int32)
+    tm = jnp.asarray(token_mask, jnp.int32)
+    dl = jnp.asarray(doc_lengths, jnp.int32)
+
+    @jax.jit
+    def run(state: SamplerState) -> SamplerState:
+        def one(_, s):
+            return gibbs_sweep(
+                s, tw, td, tm, dl,
+                alpha=alpha, beta=beta, block_size=block_size,
+                draw_method=draw_method,
+            )
+        return lax.fori_loop(0, num_sweeps, one, state)
+
+    return run

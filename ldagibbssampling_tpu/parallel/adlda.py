@@ -1,0 +1,205 @@
+"""AD-LDA: document-sharded collapsed Gibbs over a device mesh.
+
+Reference anchor: the serial chain of ``LdaModel.sampleTopicZ`` (SURVEY.md
+§3.3) — statistically preserved, mechanically parallelized.  Each device owns a
+document shard plus a *replica* of the global word-topic table ``nwk``; within
+a sweep every shard runs the blocked-Gibbs update against its (increasingly
+stale) replica, and at sweep end the per-shard deltas are reconciled with one
+``psum`` over the ``data`` mesh axis (Newman et al.'s AD-LDA scheme, the [B]
+north-star design).  The collective is XLA-compiled from ``shard_map`` — on
+real hardware it rides ICI.
+
+Doc-topic counts ``ndk`` never need reconciliation: a document lives on exactly
+one shard.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ldagibbssampling_tpu.config import LdaConfig
+from ldagibbssampling_tpu.corpus.flat import FlatCorpus
+from ldagibbssampling_tpu.models.state import SamplerState
+from ldagibbssampling_tpu.ops.gibbs import gibbs_sweep
+from ldagibbssampling_tpu.parallel.sharding import CorpusShards, shard_corpus
+
+try:  # jax >= 0.9 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+
+def make_sharded_sweep_fn(
+    shards: CorpusShards,
+    mesh: Mesh,
+    *,
+    alpha: float,
+    beta: float,
+    block_size: int,
+    draw_method: str = "gumbel",
+    num_sweeps: int = 1,
+    axis: str = "data",
+):
+    """Build a jitted AD-LDA sweep: ``(z, ndk, nwk, nk, key, sweep) -> same``.
+
+    ``z``/``ndk`` are sharded on ``axis`` (leading dim = shard); ``nwk``/``nk``
+    are replicated.  Runs ``num_sweeps`` full sweeps, reconciling ``nwk`` with
+    a psum of deltas after every sweep.
+    """
+    tw = jnp.asarray(shards.token_word)
+    td = jnp.asarray(shards.token_doc)
+    tm = jnp.asarray(shards.token_mask)
+    dl = jnp.asarray(shards.doc_lengths)
+
+    def local_sweeps(tw, td, tm, dl, z, ndk, nwk, nk, key, sweep):
+        # inside shard_map every sharded arg has leading dim P/p == 1
+        tw, td, tm, dl = tw[0], td[0], tm[0], dl[0]
+        shard_key = jax.random.fold_in(key, lax.axis_index(axis))
+
+        def one_sweep(_, carry):
+            z, ndk, nwk, nk, sweep = carry
+            state = SamplerState(z=z, ndk=ndk, nwk=nwk, nk=nk,
+                                 key=shard_key, sweep=sweep)
+            new = gibbs_sweep(
+                state, tw, td, tm, dl,
+                alpha=alpha, beta=beta, block_size=block_size,
+                draw_method=draw_method,
+            )
+            # AD-LDA reconciliation: one psum of the word-topic deltas
+            dnwk = lax.psum(new.nwk - nwk, axis)
+            dnk = lax.psum(new.nk - nk, axis)
+            return new.z, new.ndk, nwk + dnwk, nk + dnk, new.sweep
+
+        z, ndk, nwk, nk, sweep = lax.fori_loop(
+            0, num_sweeps, one_sweep, (z[0], ndk[0], nwk, nk, sweep)
+        )
+        return z[None], ndk[None], nwk, nk, sweep
+
+    sharded = P(axis)
+    repl = P()
+    fn = shard_map(
+        local_sweeps,
+        mesh=mesh,
+        in_specs=(sharded, sharded, sharded, sharded,   # tw td tm dl
+                  sharded, sharded, repl, repl, repl, repl),  # z ndk nwk nk key sweep
+        out_specs=(sharded, sharded, repl, repl, repl),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(z, ndk, nwk, nk, key, sweep):
+        return fn(tw, td, tm, dl, z, ndk, nwk, nk, key, sweep)
+
+    return run
+
+
+class ShardedLda:
+    """Multi-device AD-LDA model (single host; mesh may be real or virtual)."""
+
+    def __init__(
+        self,
+        config: LdaConfig,
+        corpus: FlatCorpus,
+        mesh: Optional[Mesh] = None,
+        num_shards: Optional[int] = None,
+        axis: str = "data",
+    ) -> None:
+        if mesh is None:
+            devs = jax.devices()
+            n = num_shards or len(devs)
+            mesh = Mesh(np.array(devs[:n]), (axis,))
+        self.mesh = mesh
+        self.axis = axis
+        self.config = config
+        self.corpus = corpus
+        p = mesh.devices.size
+        block = max(1, config.block_size)
+        self.shards = shard_corpus(corpus, p, block_size=block)
+        # block size never exceeds a shard's token stream
+        block = min(block, self.shards.tokens_per_shard)
+        self.block_size = block
+
+        k = config.topic_num
+        v = corpus.vocab_size
+        root = jax.random.PRNGKey(config.seed)
+        init_key, self._key = jax.random.split(root)
+        z = np.asarray(
+            jax.random.randint(init_key, self.shards.token_word.shape, 0, k, jnp.int32)
+        )
+        mask = self.shards.token_mask.astype(bool)
+        ndk = np.zeros((p, self.shards.docs_per_shard, k), dtype=np.int32)
+        nwk = np.zeros((v, k), dtype=np.int32)
+        for s in range(p):
+            np.add.at(ndk[s], (self.shards.token_doc[s][mask[s]], z[s][mask[s]]), 1)
+            np.add.at(nwk, (self.shards.token_word[s][mask[s]], z[s][mask[s]]), 1)
+        nk = nwk.sum(axis=0, dtype=np.int32)
+
+        shard_sharding = NamedSharding(mesh, P(axis))
+        repl_sharding = NamedSharding(mesh, P())
+        self.z = jax.device_put(jnp.asarray(z), shard_sharding)
+        self.ndk = jax.device_put(jnp.asarray(ndk), shard_sharding)
+        self.nwk = jax.device_put(jnp.asarray(nwk), repl_sharding)
+        self.nk = jax.device_put(jnp.asarray(nk), repl_sharding)
+        self.sweep_idx = jnp.int32(0)
+
+        self._sweep_fn = make_sharded_sweep_fn(
+            self.shards, mesh,
+            alpha=config.alpha, beta=config.beta, block_size=block,
+            draw_method=config.draw_method, num_sweeps=1, axis=axis,
+        )
+
+    # ------------------------------------------------------------------
+    def sweep(self, n: int = 1) -> None:
+        for _ in range(n):
+            self.z, self.ndk, self.nwk, self.nk, self.sweep_idx = self._sweep_fn(
+                self.z, self.ndk, self.nwk, self.nk, self._key, self.sweep_idx
+            )
+
+    # ------------------------------------------------------------------
+    def phi(self) -> np.ndarray:
+        nwk = np.asarray(self.nwk)
+        nk = np.asarray(self.nk)
+        v = nwk.shape[0]
+        return ((nwk + self.config.beta) / (nk + v * self.config.beta)).T
+
+    def theta(self) -> np.ndarray:
+        """Gather sharded ndk back to global doc order via doc_map."""
+        ndk = np.asarray(self.ndk)
+        k = ndk.shape[-1]
+        m = self.corpus.num_docs
+        out = np.zeros((m, k), dtype=np.float64)
+        lengths = self.corpus.doc_lengths()
+        for s in range(self.shards.num_shards):
+            for local, g in enumerate(self.shards.doc_map[s]):
+                if g >= 0:
+                    out[g] = ndk[s, local]
+        out = (out + self.config.alpha) / (
+            lengths[:, None] + k * self.config.alpha
+        )
+        return out
+
+    # ------------------------------------------------------------------
+    def check_counts_consistent(self) -> None:
+        """Debug mode (SURVEY.md §5 race-detection analog): recompute every
+        count table serially from ``z`` and compare with the psum-reconciled
+        device tables.  Raises AssertionError on any divergence."""
+        z = np.asarray(self.z)
+        mask = self.shards.token_mask.astype(bool)
+        k = self.config.topic_num
+        v = self.corpus.vocab_size
+        p = self.shards.num_shards
+        nwk_ref = np.zeros((v, k), dtype=np.int64)
+        ndk_ref = np.zeros((p, self.shards.docs_per_shard, k), dtype=np.int64)
+        for s in range(p):
+            np.add.at(ndk_ref[s], (self.shards.token_doc[s][mask[s]], z[s][mask[s]]), 1)
+            np.add.at(nwk_ref, (self.shards.token_word[s][mask[s]], z[s][mask[s]]), 1)
+        np.testing.assert_array_equal(np.asarray(self.nwk), nwk_ref)
+        np.testing.assert_array_equal(np.asarray(self.ndk), ndk_ref)
+        np.testing.assert_array_equal(np.asarray(self.nk), nwk_ref.sum(axis=0))

@@ -1,0 +1,92 @@
+"""End-to-end LdaModel + CLI tests (reference main flow, SURVEY.md §3.1)."""
+
+import numpy as np
+
+from ldagibbssampling_tpu.cli import main
+from ldagibbssampling_tpu.config import LdaConfig
+from ldagibbssampling_tpu.corpus.documents import Documents
+from ldagibbssampling_tpu.corpus.flat import FlatCorpus
+from ldagibbssampling_tpu.data import write_minicorpus
+from ldagibbssampling_tpu.models.lda import LdaModel
+
+
+def _small_corpus(tmp_path):
+    write_minicorpus(tmp_path / "docs", num_docs=6)
+    docs = Documents().read_docs(tmp_path / "docs")
+    return FlatCorpus.from_documents(docs)
+
+
+def test_lda_model_blocked_runs_and_saves(tmp_path):
+    corpus = _small_corpus(tmp_path)
+    cfg = LdaConfig(topic_num=5, iteration=8, save_step=2, begin_save_iters=4,
+                    block_size=64, seed=1)
+    model = LdaModel(cfg, corpus)
+    model.inference(tmp_path / "out")
+    # saves at i = 4, 6 during the loop
+    assert (tmp_path / "out" / "lda_4.phi").exists()
+    assert (tmp_path / "out" / "lda_6.twords").exists()
+    assert model.sweeps_done == 8
+    phi = model.phi()
+    np.testing.assert_allclose(phi.sum(axis=1), 1.0, rtol=1e-5)
+    assert model.z().shape == (corpus.num_tokens,)
+
+
+def test_lda_model_serial_sampler(tmp_path):
+    corpus = _small_corpus(tmp_path)
+    cfg = LdaConfig(topic_num=3, iteration=2, sampler="serial", seed=5)
+    model = LdaModel(cfg, corpus)
+    model.sweep(2)
+    assert model.sweeps_done == 2
+    np.testing.assert_allclose(model.theta().sum(axis=1), 1.0, rtol=1e-12)
+
+
+def test_reference_guard_enforced_when_saving(tmp_path):
+    corpus = _small_corpus(tmp_path)
+    cfg = LdaConfig(topic_num=3, iteration=5, save_step=10, begin_save_iters=50)
+    model = LdaModel(cfg, corpus)
+    import pytest
+
+    with pytest.raises(ValueError):
+        model.inference(tmp_path / "out")
+    # without a result dir the guard does not apply (no saves requested)
+    model.inference(None)
+    assert model.sweeps_done == 5
+
+
+def test_cli_end_to_end(tmp_path, capsys):
+    rc = main([
+        "--docs", str(tmp_path / "docs"),
+        "--results", str(tmp_path / "results"),
+        "--generate-minicorpus",
+        "-k", "4", "--iterations", "6", "--save-step", "2",
+        "--begin-save-iters", "3", "--block-size", "64", "--seed", "0",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "wordMap size" in out
+    assert "1 Initialize the model ..." in out
+    assert "Iteration 5" in out
+    # final save at iteration=6 plus periodic saves at 3, 5
+    assert (tmp_path / "results" / "lda_6.phi").exists()
+    assert (tmp_path / "results" / "lda_3.tassign").exists()
+    assert (tmp_path / "results" / "lda_5.twords").exists()
+
+
+def test_cli_missing_docs_dir(tmp_path, capsys):
+    rc = main(["--docs", str(tmp_path / "nope"), "--no-save"])
+    assert rc == 2
+    assert "does not exist" in capsys.readouterr().err
+
+
+def test_cli_reference_param_file(tmp_path):
+    pf = tmp_path / "LdaParameters.txt"
+    pf.write_text("alpha\t0.3\nbeta\t0.2\ntopicNum\t3\niteration\t4\n"
+                  "saveStep\t2\nbeginSaveIters\t2\n")
+    rc = main([
+        "--docs", str(tmp_path / "docs"), "--generate-minicorpus",
+        "--params", str(pf), "--results", str(tmp_path / "res"), "--block-size", "64",
+    ])
+    assert rc == 0
+    params = (tmp_path / "res" / "lda_4.params").read_text()
+    assert "alpha = 0.3" in params
+    assert "topicNum = 3" in params
