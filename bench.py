@@ -28,6 +28,10 @@ VOCAB = 50_000
 NUM_DOCS = 4_096
 BLOCK_SIZE = int(os.environ.get("LDA_BENCH_BLOCK", 16_384))
 TIMED_SWEEPS = int(os.environ.get("LDA_BENCH_SWEEPS", 3))
+# Default is the XLA-fused jnp sweep: measured 12.6M tok/s vs 9.7M for the
+# v1 Pallas kernel at K=500 (the pallas_call boundary forces the gathered
+# [B,K] tiles to materialize in HBM; XLA fuses gather→draw without that).
+USE_PALLAS = os.environ.get("LDA_BENCH_PALLAS", "0") == "1"
 BASELINE_TOKENS_PER_S = 2e4  # BASELINE.md serial-Java estimate, upper end
 
 
@@ -59,9 +63,11 @@ def main() -> None:
         tw, td, tm, num_docs=NUM_DOCS, vocab_size=VOCAB,
         num_topics=NUM_TOPICS, seed=0,
     )
+    use_pallas = USE_PALLAS and dev.platform == "tpu"
     run = make_sweep_fn(
         tw, td, tm, dl, alpha=0.5, beta=0.1,
         block_size=BLOCK_SIZE, draw_method="gumbel", num_sweeps=1,
+        use_pallas=use_pallas,
     )
 
     # warmup / compile
@@ -85,7 +91,7 @@ def main() -> None:
     }
     print(
         f"# device={dev.platform}:{dev} T={t} K={NUM_TOPICS} V={VOCAB} "
-        f"block={BLOCK_SIZE} compile={compile_s:.1f}s "
+        f"block={BLOCK_SIZE} pallas={use_pallas} compile={compile_s:.1f}s "
         f"timed={TIMED_SWEEPS} sweeps in {dt:.2f}s",
         file=sys.stderr,
     )

@@ -1,0 +1,68 @@
+"""Checkpoint / resume of the full sampler state via orbax.
+
+The reference has NO resume path — ``saveIteratedModel`` dumps text artifacts
+(``z`` lands in ``.tassign``) that are never re-read (SURVEY.md §5).  This is
+the new-framework obligation: the complete ``SamplerState`` pytree
+``(z, ndk, nwk, nk, key, sweep)`` round-trips losslessly, so a killed run
+resumes the *identical* chain (kill-and-resume reproduces the uninterrupted
+trajectory — tested in tests/test_checkpoint.py).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ldagibbssampling_tpu.models.state import SamplerState
+
+
+def _manager(directory: str | Path, max_to_keep: int = 3):
+    import orbax.checkpoint as ocp
+
+    return ocp.CheckpointManager(
+        Path(directory).absolute(),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+    )
+
+
+def save_checkpoint(directory: str | Path, state: SamplerState, *, max_to_keep: int = 3) -> int:
+    """Save ``state`` at step ``state.sweep``; returns the step saved."""
+    import orbax.checkpoint as ocp
+
+    step = int(state.sweep)
+    with _manager(directory, max_to_keep) as mgr:
+        mgr.save(step, args=ocp.args.StandardSave(state))
+        mgr.wait_until_finished()
+    return step
+
+
+def latest_step(directory: str | Path) -> Optional[int]:
+    import orbax.checkpoint as ocp
+
+    d = Path(directory)
+    if not d.exists():
+        return None
+    with _manager(d) as mgr:
+        return mgr.latest_step()
+
+
+def restore_checkpoint(
+    directory: str | Path,
+    like: SamplerState,
+    step: Optional[int] = None,
+) -> SamplerState:
+    """Restore a state with the same structure/shapes as ``like``."""
+    import orbax.checkpoint as ocp
+
+    with _manager(directory) as mgr:
+        if step is None:
+            step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint found under {directory}")
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), like
+        )
+        return mgr.restore(step, args=ocp.args.StandardRestore(abstract))

@@ -57,6 +57,8 @@ def gibbs_sweep(
     draw_method: str = "gumbel",
     uniforms: Optional[jax.Array] = None,
     prob_dtype: Any = jnp.float32,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> SamplerState:
     """Run one full sweep (every token resampled once); returns the new state.
 
@@ -78,14 +80,16 @@ def gibbs_sweep(
         state, token_word, token_doc, token_mask, doc_lengths, uniforms,
         alpha=float(alpha), beta=float(beta), block_size=block_size,
         draw_method=draw_method, prob_dtype=jnp.dtype(prob_dtype).name,
-        has_uniforms=has_uniforms,
+        has_uniforms=has_uniforms, use_pallas=use_pallas,
+        pallas_interpret=pallas_interpret,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "alpha", "beta", "block_size", "draw_method", "prob_dtype", "has_uniforms"
+        "alpha", "beta", "block_size", "draw_method", "prob_dtype",
+        "has_uniforms", "use_pallas", "pallas_interpret",
     ),
 )
 def _sweep_impl(
@@ -102,6 +106,8 @@ def _sweep_impl(
     draw_method: str,
     prob_dtype: str,
     has_uniforms: bool,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> SamplerState:
     prob_dtype = jnp.dtype(prob_dtype)
     t_pad = token_word.shape[0]
@@ -125,12 +131,37 @@ def _sweep_impl(
         zold = lax.dynamic_slice(z, (start,), (block_size,))
 
         onehot_old = jax.nn.one_hot(zold, k, dtype=count_dtype) * msk[:, None]
-        # Snapshot gathers + self-exclusion (decrement step of sampleTopicZ).
-        nwk_ex = (nwk[w] - onehot_old).astype(prob_dtype)
-        ndk_ex = (ndk[d] - onehot_old).astype(prob_dtype)
-        nk_ex = (nk[None, :] - onehot_old).astype(prob_dtype)
 
-        if draw_method == "gumbel":
+        if draw_method == "gumbel" and use_pallas:
+            # fused kernel: exclusion + conditional + PRNG + argmax in VMEM
+            from ldagibbssampling_tpu.ops.pallas_gibbs import pallas_sample_block
+
+            block_key = jax.random.fold_in(sweep_key, i)
+            seed = jax.random.randint(block_key, (), 0, 2**31 - 1, dtype=jnp.int32)
+            if pallas_interpret:
+                # CPU interpreter can't run the on-core PRNG; feed it noise
+                noise = jax.random.uniform(
+                    block_key, (block_size, k),
+                    minval=1e-7, maxval=1.0 - 1e-7, dtype=jnp.float32,
+                )
+                znew = pallas_sample_block(
+                    nwk[w].astype(jnp.float32), ndk[d].astype(jnp.float32),
+                    nk.astype(jnp.float32), zold, seed, noise,
+                    alpha=alpha, beta=beta, vbeta=v * beta, k_real=k,
+                    noise_mode="external", interpret=True,
+                ).astype(zold.dtype)
+            else:
+                znew = pallas_sample_block(
+                    nwk[w].astype(jnp.float32), ndk[d].astype(jnp.float32),
+                    nk.astype(jnp.float32), zold, seed,
+                    alpha=alpha, beta=beta, vbeta=v * beta, k_real=k,
+                    noise_mode="internal",
+                ).astype(zold.dtype)
+        elif draw_method == "gumbel":
+            # Snapshot gathers + self-exclusion (decrement step of sampleTopicZ).
+            nwk_ex = (nwk[w] - onehot_old).astype(prob_dtype)
+            ndk_ex = (ndk[d] - onehot_old).astype(prob_dtype)
+            nk_ex = (nk[None, :] - onehot_old).astype(prob_dtype)
             logp = (
                 jnp.log(nwk_ex + beta_c)
                 + jnp.log(ndk_ex + alpha_c)
@@ -141,6 +172,9 @@ def _sweep_impl(
             )
             znew = jnp.argmax(logp + g, axis=-1).astype(zold.dtype)
         elif draw_method == "inverse_cdf":
+            nwk_ex = (nwk[w] - onehot_old).astype(prob_dtype)
+            ndk_ex = (ndk[d] - onehot_old).astype(prob_dtype)
+            nk_ex = (nk[None, :] - onehot_old).astype(prob_dtype)
             # Java op order: ((nwk+β)/(nk+Vβ) · (ndk+α)) / (N_m-1+Kα)
             den = (doc_lengths[d].astype(prob_dtype) - 1.0 + kalpha)[:, None]
             p = (nwk_ex + beta_c) / (nk_ex + vbeta) * (ndk_ex + alpha_c) / den
@@ -187,6 +221,8 @@ def make_sweep_fn(
     block_size: int,
     draw_method: str = "gumbel",
     num_sweeps: int = 1,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ):
     """Build a jitted ``state -> state`` function running ``num_sweeps`` sweeps.
 
@@ -205,7 +241,8 @@ def make_sweep_fn(
             return gibbs_sweep(
                 s, tw, td, tm, dl,
                 alpha=alpha, beta=beta, block_size=block_size,
-                draw_method=draw_method,
+                draw_method=draw_method, use_pallas=use_pallas,
+                pallas_interpret=pallas_interpret,
             )
         return lax.fori_loop(0, num_sweeps, one, state)
 
