@@ -1,0 +1,143 @@
+"""SVI: stochastic variational inference (online LDA, Hoffman et al. 2010).
+
+No reference analog; the BASELINE.json config-5 backend for corpora too large
+for full sweeps (streaming minibatch natural-gradient updates — the closest
+thing this model family has to a pipeline-parallel stage, SURVEY.md §2.3 PP
+row).  Global state is the topic-word variational parameter λ [K, V]; each
+step draws a minibatch of documents, runs a fixed-iteration local E-step for
+their γ, and blends the natural-gradient estimate with decaying rate
+ρ_t = (τ₀ + t)^(−κ).
+
+The whole update is dense [B,V]×[V,K] matmul work — MXU-shaped by
+construction.  Minibatches stream from a host-side bag-of-words iterator
+(jitted device step + host prefetch loop).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.scipy.special import digamma
+
+from ldagibbssampling_tpu.config import LdaConfig
+from ldagibbssampling_tpu.corpus.flat import FlatCorpus
+
+
+def _exp_e_log_dirichlet(x: jax.Array) -> jax.Array:
+    """exp(E[log θ]) for rows of a Dirichlet variational parameter."""
+    return jnp.exp(digamma(x) - digamma(x.sum(axis=-1, keepdims=True)))
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "eta", "e_steps", "total_docs"))
+def svi_step(
+    lam: jax.Array,       # [K, V] global variational parameter
+    bow: jax.Array,       # [B, V] minibatch bag-of-words (float32)
+    rho: jax.Array,       # [] step size
+    *,
+    alpha: float,
+    eta: float,
+    e_steps: int,
+    total_docs: int,
+):
+    b, v = bow.shape
+    k = lam.shape[0]
+    e_log_beta = _exp_e_log_dirichlet(lam)            # [K, V]
+
+    def e_body(_, gamma):
+        e_log_theta = _exp_e_log_dirichlet(gamma)     # [B, K]
+        phinorm = e_log_theta @ e_log_beta + 1e-100   # [B, V]
+        gamma_new = alpha + e_log_theta * (
+            (bow / phinorm) @ e_log_beta.T
+        )
+        return gamma_new
+
+    gamma0 = jnp.ones((b, k), jnp.float32)
+    gamma = lax.fori_loop(0, e_steps, e_body, gamma0)
+
+    e_log_theta = _exp_e_log_dirichlet(gamma)
+    phinorm = e_log_theta @ e_log_beta + 1e-100
+    sstats = e_log_beta * (e_log_theta.T @ (bow / phinorm))   # [K, V]
+    lam_hat = eta + (total_docs / b) * sstats
+    lam_new = (1.0 - rho) * lam + rho * lam_hat
+    return lam_new, gamma
+
+
+class SviModel:
+    """Streaming online-LDA backend with the common InferenceBackend surface.
+
+    One ``sweep()`` = one full pass over the corpus in minibatches (so
+    matched-budget comparisons against Gibbs sweeps stay meaningful).
+    """
+
+    def __init__(
+        self,
+        config: LdaConfig,
+        corpus: FlatCorpus,
+        batch_size: int = 64,
+        tau0: float = 1.0,
+        kappa: float = 0.7,
+        eta: float = None,
+        e_steps: int = 20,
+    ) -> None:
+        self.config = config
+        self.corpus = corpus
+        self.batch_size = min(batch_size, max(1, corpus.num_docs))
+        self.tau0, self.kappa = tau0, kappa
+        self.eta = config.beta if eta is None else eta
+        self.e_steps = e_steps
+        self.doc_lengths = corpus.doc_lengths()
+
+        k, v, m = config.topic_num, corpus.vocab_size, corpus.num_docs
+        key = jax.random.PRNGKey(config.seed)
+        # standard online-LDA init: Gamma(100, 1/100) noise
+        self.lam = (
+            jax.random.gamma(key, 100.0, (k, v)).astype(jnp.float32) / 100.0
+        )
+        # host-side dense bag-of-words (streaming source); fine for the corpus
+        # scales this single-host backend targets — the multi-host path streams
+        # shards of this same matrix
+        bow = np.zeros((m, v), np.float32)
+        np.add.at(bow, (corpus.token_doc, corpus.token_word), 1.0)
+        self._bow = bow
+        self._step_idx = 0
+        self._sweeps = 0
+        self._gamma_full = np.ones((m, k), np.float32)
+        self._rng = np.random.default_rng(config.seed)
+
+    # ------------------------------------------------------------------
+    def _minibatches(self):
+        m = self.corpus.num_docs
+        order = self._rng.permutation(m)
+        for s in range(0, m, self.batch_size):
+            yield order[s : s + self.batch_size]
+
+    def sweep(self, n: int = 1) -> None:
+        for _ in range(n):
+            for idx in self._minibatches():
+                rho = (self.tau0 + self._step_idx) ** (-self.kappa)
+                bow = jnp.asarray(self._bow[idx])
+                self.lam, gamma = svi_step(
+                    self.lam, bow, jnp.float32(rho),
+                    alpha=self.config.alpha, eta=self.eta,
+                    e_steps=self.e_steps, total_docs=self.corpus.num_docs,
+                )
+                self._gamma_full[idx] = np.asarray(gamma)
+                self._step_idx += 1
+            self._sweeps += 1
+
+    @property
+    def sweeps_done(self) -> int:
+        return self._sweeps
+
+    # ------------------------------------------------------------------
+    def phi(self) -> np.ndarray:
+        lam = np.asarray(self.lam, np.float64)
+        return lam / lam.sum(axis=1, keepdims=True)
+
+    def theta(self) -> np.ndarray:
+        g = self._gamma_full.astype(np.float64)
+        return g / g.sum(axis=1, keepdims=True)

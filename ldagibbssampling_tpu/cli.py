@@ -104,10 +104,11 @@ def main(argv=None) -> int:
             return 2
         result_dir.mkdir(parents=True, exist_ok=True)
 
-    from ldagibbssampling_tpu.models.lda import LdaModel
+    from ldagibbssampling_tpu.backends import make_backend
+    from ldagibbssampling_tpu.runner import run_inference, save_backend_model
 
     print("1 Initialize the model ...")
-    model = LdaModel(cfg, corpus)
+    model = make_backend(cfg, corpus)
 
     print("2 Learning and Saving the model ...")
     t0 = time.perf_counter()
@@ -116,7 +117,7 @@ def main(argv=None) -> int:
         print(f"Iteration {i}")
 
     try:
-        model.inference(result_dir, progress=progress)
+        run_inference(model, cfg, corpus, result_dir, progress=progress)
     except ValueError as e:
         # the reference's iterations < saveStep + beginSaveIters guard hard-exits
         print(f"error: {e}", file=sys.stderr)
@@ -125,7 +126,7 @@ def main(argv=None) -> int:
 
     print("3 Output the final model ...")
     if result_dir is not None:
-        model.save_iterated_model(cfg.iteration, result_dir)
+        save_backend_model(model, cfg.iteration, result_dir, corpus, cfg)
     tokens = corpus.num_tokens * cfg.iteration
     print(f"Done: {cfg.iteration} sweeps over {corpus.num_tokens} tokens in "
           f"{dt:.2f}s ({tokens / max(dt, 1e-9):,.0f} tokens resampled/s)")

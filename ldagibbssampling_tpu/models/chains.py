@@ -1,0 +1,121 @@
+"""Multi-chain runner: independent Gibbs chains with R̂ convergence tracking.
+
+The reference runs exactly one chain (SURVEY.md §2.3); BASELINE.json config 4
+requires "4 parallel chains, R-hat on φ".  Chains are embarrassingly parallel:
+the chain axis is a leading ``vmap`` dimension over ``SamplerState`` (token
+arrays shared), so on a mesh the same program shards the chain axis with a
+``NamedSharding(('chain',))`` — XLA partitions the vmapped program with zero
+collectives between chains.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldagibbssampling_tpu.config import LdaConfig
+from ldagibbssampling_tpu.corpus.flat import FlatCorpus
+from ldagibbssampling_tpu.evaluation.diagnostics import r_hat
+from ldagibbssampling_tpu.models import state as state_lib
+from ldagibbssampling_tpu.models.state import SamplerState
+from ldagibbssampling_tpu.ops.gibbs import gibbs_sweep
+
+
+class ChainSet:
+    """N independent chains advanced in lockstep via vmap."""
+
+    def __init__(
+        self,
+        config: LdaConfig,
+        corpus: FlatCorpus,
+        num_chains: Optional[int] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ) -> None:
+        self.config = config
+        self.corpus = corpus
+        self.num_chains = num_chains or max(1, config.chains)
+        block = max(1, min(config.block_size, max(1, corpus.num_tokens)))
+        self.block_size = block
+        pc = corpus.pad_to(block)
+        self._padded = pc
+        self.doc_lengths = corpus.doc_lengths()
+
+        states = [
+            state_lib.init_state(
+                pc.token_word, pc.token_doc, pc.token_mask,
+                num_docs=pc.num_docs, vocab_size=pc.vocab_size,
+                num_topics=config.topic_num, seed=config.seed + c,
+            )
+            for c in range(self.num_chains)
+        ]
+        self.states: SamplerState = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *states
+        )
+        if mesh is not None:
+            sharding = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("chain")
+            )
+            self.states = jax.tree.map(
+                lambda x: jax.device_put(x, sharding), self.states
+            )
+
+        tw = jnp.asarray(pc.token_word)
+        td = jnp.asarray(pc.token_doc)
+        tm = jnp.asarray(pc.token_mask)
+        dl = jnp.asarray(self.doc_lengths)
+        cfg = config
+
+        @jax.jit
+        def run(states: SamplerState) -> SamplerState:
+            def one(s):
+                return gibbs_sweep(
+                    s, tw, td, tm, dl,
+                    alpha=cfg.alpha, beta=cfg.beta, block_size=block,
+                    draw_method=cfg.draw_method,
+                )
+            return jax.vmap(one)(states)
+
+        self._run = run
+        self.ll_trace: list[np.ndarray] = []  # per sweep: [num_chains]
+
+    # ------------------------------------------------------------------
+    def sweep(self, n: int = 1, record_ll: bool = False) -> None:
+        from ldagibbssampling_tpu.evaluation.metrics import log_likelihood
+
+        for _ in range(n):
+            self.states = self._run(self.states)
+            if record_ll:
+                lls = []
+                for c in range(self.num_chains):
+                    phi, theta = self.chain_phi_theta(c)
+                    lls.append(
+                        log_likelihood(phi, theta, self.corpus)
+                        / max(self.corpus.num_tokens, 1)
+                    )
+                self.ll_trace.append(np.asarray(lls))
+
+    def chain_state(self, c: int) -> SamplerState:
+        return jax.tree.map(lambda x: x[c], self.states)
+
+    def chain_phi_theta(self, c: int):
+        s = self.chain_state(c)
+        phi, theta = state_lib.phi_theta(
+            s, self.doc_lengths, self.config.alpha, self.config.beta
+        )
+        return np.asarray(phi), np.asarray(theta)
+
+    # ------------------------------------------------------------------
+    def r_hat_ll(self) -> float:
+        """Split-R̂ on the per-chain log-likelihood traces (needs ≥4 draws)."""
+        if len(self.ll_trace) < 4:
+            return float("nan")
+        return r_hat(np.stack(self.ll_trace, axis=1))
+
+    def mean_phi(self) -> np.ndarray:
+        """Posterior-averaged φ across chains (label switching caveat: chains
+        are averaged in the permutation-invariant predictive sense only)."""
+        phis = [self.chain_phi_theta(c)[0] for c in range(self.num_chains)]
+        return np.mean(phis, axis=0)
