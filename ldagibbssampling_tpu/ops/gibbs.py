@@ -42,6 +42,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from ldagibbssampling_tpu.models.state import SamplerState
+from ldagibbssampling_tpu.utils.jaxcache import enable_compilation_cache
+
+enable_compilation_cache()
 
 
 def gibbs_sweep(
@@ -59,6 +62,7 @@ def gibbs_sweep(
     prob_dtype: Any = jnp.float32,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    vocab_size: Optional[int] = None,
 ) -> SamplerState:
     """Run one full sweep (every token resampled once); returns the new state.
 
@@ -66,6 +70,10 @@ def gibbs_sweep(
     ``block_size`` (see ``FlatCorpus.pad_to``).  Eager calls hit a process-wide
     jit cache keyed on shapes + the static knobs, so repeated sweeps do not
     retrace.
+
+    ``vocab_size`` overrides the V of the conditional's ``V·β`` smoothing mass;
+    required when ``state.nwk`` is a vocab-sharded slab (``parallel/grid.py``)
+    whose height is not the global vocabulary size.
     """
     t_pad = token_word.shape[0]
     if t_pad % block_size != 0:
@@ -82,6 +90,7 @@ def gibbs_sweep(
         draw_method=draw_method, prob_dtype=jnp.dtype(prob_dtype).name,
         has_uniforms=has_uniforms, use_pallas=use_pallas,
         pallas_interpret=pallas_interpret,
+        vocab_size=None if vocab_size is None else int(vocab_size),
     )
 
 
@@ -89,7 +98,7 @@ def gibbs_sweep(
     jax.jit,
     static_argnames=(
         "alpha", "beta", "block_size", "draw_method", "prob_dtype",
-        "has_uniforms", "use_pallas", "pallas_interpret",
+        "has_uniforms", "use_pallas", "pallas_interpret", "vocab_size",
     ),
 )
 def _sweep_impl(
@@ -108,12 +117,13 @@ def _sweep_impl(
     has_uniforms: bool,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    vocab_size: Optional[int] = None,
 ) -> SamplerState:
     prob_dtype = jnp.dtype(prob_dtype)
     t_pad = token_word.shape[0]
     num_blocks = t_pad // block_size
     k = state.nwk.shape[1]
-    v = state.nwk.shape[0]
+    v = state.nwk.shape[0] if vocab_size is None else vocab_size
     count_dtype = state.nwk.dtype
 
     sweep_key = jax.random.fold_in(state.key, state.sweep)

@@ -1,0 +1,353 @@
+"""2D grid-parallel collapsed Gibbs: doc-sharding × vocab-sharding.
+
+The TP row of SURVEY.md §2.3: when ``V·K`` exceeds a chip's HBM (e.g. PubMed
+V≈140k × K=1000), the word-topic table ``nwk`` must be sharded, not
+replicated.  This runtime composes both parallelism axes on one mesh
+``('data', 'vocab')``:
+
+- ``data`` axis: documents are sharded AD-LDA style (as ``parallel/adlda.py``);
+  each row of the grid owns a doc shard and its exact ``ndk``.
+- ``vocab`` axis: the vocabulary is split into contiguous, token-frequency-
+  balanced ranges; each column owns ``nwk`` rows for its range only —
+  per-device footprint ``V/p_v × K``.
+
+Device ``(i, j)`` sweeps the tokens of doc-shard ``i`` whose words fall in
+vocab-range ``j``, against its *exact-local* ``nwk`` slab and a replica of doc
+shard ``i``'s ``ndk``.  End-of-sweep reconciliation (XLA collectives over ICI):
+
+    Δnwk_j  = psum over 'data'   (each slab is updated by every doc shard)
+    Δndk_i  = psum over 'vocab'  (each doc's tokens are split across columns)
+    Δnk     = psum over both axes
+
+Chain semantics: same blocked/AD-LDA approximation family as the 1D runtime —
+counts are stale within a sweep by at most one sweep's deltas; validated by the
+statistical-parity harness, with exactness of the count tables themselves
+guaranteed (they are pure functions of ``z``, checked by
+``check_counts_consistent``).  Reference anchor for the preserved semantics:
+``LdaModel.sampleTopicZ`` (SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ldagibbssampling_tpu.config import LdaConfig
+from ldagibbssampling_tpu.corpus.flat import FlatCorpus
+from ldagibbssampling_tpu.models.state import SamplerState
+from ldagibbssampling_tpu.ops.gibbs import gibbs_sweep
+from ldagibbssampling_tpu.parallel.sharding import assign_docs
+
+try:  # jax >= 0.9 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+
+def partition_vocab(corpus: FlatCorpus, num_parts: int) -> np.ndarray:
+    """Contiguous vocab boundaries balanced by token frequency.
+
+    Returns ``bounds[num_parts + 1]`` with part j owning word ids
+    ``[bounds[j], bounds[j+1])``.  Contiguity keeps local ids a subtraction
+    (``w - bounds[j]``) instead of a lookup table.
+    """
+    v = corpus.vocab_size
+    freq = np.bincount(corpus.token_word, minlength=v).astype(np.int64)
+    cum = np.cumsum(freq)
+    total = int(cum[-1]) if v else 0
+    bounds = np.zeros(num_parts + 1, dtype=np.int32)
+    bounds[num_parts] = v
+    for j in range(1, num_parts):
+        # first word index where cumulative frequency reaches j/num_parts
+        target = total * j // num_parts
+        bounds[j] = int(np.searchsorted(cum, target, side="left"))
+    # enforce monotonicity for degenerate distributions (one huge word)
+    for j in range(1, num_parts + 1):
+        bounds[j] = max(bounds[j], bounds[j - 1])
+    return bounds
+
+
+@dataclasses.dataclass(frozen=True)
+class GridShards:
+    """Per-cell token arrays, stacked ``[Pd, Pv, ...]``.
+
+    Word ids are LOCAL to the cell's vocab range; doc ids are LOCAL to the
+    cell's doc shard.  ``doc_map[Pd, M_s]`` recovers global doc ids (−1 pad);
+    ``vocab_bounds[Pv+1]`` recovers global word ids.
+    """
+
+    token_word: np.ndarray   # int32 [Pd, Pv, T_c] — local word ids
+    token_doc: np.ndarray    # int32 [Pd, Pv, T_c] — local doc ids
+    token_mask: np.ndarray   # int32 [Pd, Pv, T_c]
+    doc_lengths: np.ndarray  # int32 [Pd, M_s] — FULL doc lengths (0 = pad doc)
+    doc_map: np.ndarray      # int32 [Pd, M_s]
+    vocab_bounds: np.ndarray  # int32 [Pv + 1]
+    p_data: int
+    p_vocab: int
+    vocab_size: int
+    num_real_tokens: int
+
+    @property
+    def tokens_per_cell(self) -> int:
+        return int(self.token_word.shape[2])
+
+    @property
+    def docs_per_shard(self) -> int:
+        return int(self.doc_lengths.shape[1])
+
+    @property
+    def vocab_per_shard(self) -> int:
+        return int(np.max(np.diff(self.vocab_bounds))) if self.p_vocab else 0
+
+
+def shard_corpus_grid(
+    corpus: FlatCorpus, p_data: int, p_vocab: int, block_size: int = 1
+) -> GridShards:
+    """Partition tokens onto a ``p_data × p_vocab`` grid, padded uniformly."""
+    lengths = corpus.doc_lengths()
+    shard_docs = assign_docs(lengths, p_data)
+    bounds = partition_vocab(corpus, p_vocab)
+    # all vocab slabs padded to the same local size for uniform stacking
+    v_s = max(1, int(np.max(np.diff(bounds))))
+
+    m_s = max(1, max(len(s) for s in shard_docs))
+    # bucket tokens per cell
+    cells: list[list[list[tuple[int, int]]]] = [
+        [[] for _ in range(p_vocab)] for _ in range(p_data)
+    ]
+    word_part = np.searchsorted(bounds, corpus.token_word, side="right") - 1
+    for i, docs in enumerate(shard_docs):
+        for local_doc, g in enumerate(docs):
+            s, e = corpus.doc_ptr[g], corpus.doc_ptr[g + 1]
+            for t in range(s, e):
+                j = int(word_part[t])
+                cells[i][j].append(
+                    (int(corpus.token_word[t]) - int(bounds[j]), local_doc)
+                )
+
+    t_raw = max(1, max(len(cells[i][j]) for i in range(p_data) for j in range(p_vocab)))
+    t_c = ((t_raw + block_size - 1) // block_size) * block_size
+
+    tw = np.zeros((p_data, p_vocab, t_c), dtype=np.int32)
+    td = np.zeros((p_data, p_vocab, t_c), dtype=np.int32)
+    tm = np.zeros((p_data, p_vocab, t_c), dtype=np.int32)
+    dl = np.zeros((p_data, m_s), dtype=np.int32)
+    dmap = np.full((p_data, m_s), -1, dtype=np.int32)
+
+    for i, docs in enumerate(shard_docs):
+        for local_doc, g in enumerate(docs):
+            dl[i, local_doc] = int(lengths[g])
+            dmap[i, local_doc] = g
+        for j in range(p_vocab):
+            for pos, (w_local, d_local) in enumerate(cells[i][j]):
+                tw[i, j, pos] = w_local
+                td[i, j, pos] = d_local
+                tm[i, j, pos] = 1
+
+    return GridShards(
+        token_word=tw, token_doc=td, token_mask=tm,
+        doc_lengths=dl, doc_map=dmap, vocab_bounds=bounds,
+        p_data=p_data, p_vocab=p_vocab,
+        vocab_size=corpus.vocab_size, num_real_tokens=corpus.num_tokens,
+    )
+
+
+def make_grid_sweep_fn(
+    shards: GridShards,
+    mesh: Mesh,
+    *,
+    alpha: float,
+    beta: float,
+    block_size: int,
+    draw_method: str = "gumbel",
+    num_sweeps: int = 1,
+):
+    """Jitted grid sweep ``(z, ndk, nwk, nk, key, sweep) -> same``.
+
+    Shapes (host view): ``z [Pd, Pv, T_c]`` sharded ('data','vocab');
+    ``ndk [Pd, M_s, K]`` sharded ('data'); ``nwk [Pv, V_s, K]`` sharded
+    ('vocab'); ``nk [K]`` replicated.  The conditional needs the GLOBAL V·β
+    smoothing mass, so ``vocab_size`` (not the slab height) fixes ``Vβ`` —
+    ``gibbs_sweep`` derives V from the table, hence slabs are padded and the
+    β-term corrected via the ``vbeta_override`` contract below.
+    """
+    tw = jnp.asarray(shards.token_word)
+    td = jnp.asarray(shards.token_doc)
+    tm = jnp.asarray(shards.token_mask)
+    dl = jnp.asarray(shards.doc_lengths)
+    v_global = shards.vocab_size
+
+    def local_sweeps(tw, td, tm, dl, z, ndk, nwk, nk, key, sweep):
+        tw, td, tm = tw[0, 0], td[0, 0], tm[0, 0]
+        dl = dl[0]
+        i = lax.axis_index("data")
+        j = lax.axis_index("vocab")
+        cell_key = jax.random.fold_in(
+            jax.random.fold_in(key, i), j + (1 << 16)
+        )
+
+        def one_sweep(_, carry):
+            z, ndk, nwk, nk, sweep = carry
+            state = SamplerState(z=z, ndk=ndk, nwk=nwk, nk=nk,
+                                 key=cell_key, sweep=sweep)
+            new = gibbs_sweep(
+                state, tw, td, tm, dl,
+                alpha=alpha, beta=beta, block_size=block_size,
+                draw_method=draw_method, vocab_size=v_global,
+            )
+            dnwk = lax.psum(new.nwk - nwk, "data")
+            dndk = lax.psum(new.ndk - ndk, "vocab")
+            dnk = lax.psum(new.nk - nk, ("data", "vocab"))
+            return new.z, ndk + dndk, nwk + dnwk, nk + dnk, new.sweep
+
+        z, ndk, nwk, nk, sweep = lax.fori_loop(
+            0, num_sweeps, one_sweep, (z[0, 0], ndk[0], nwk[0], nk, sweep)
+        )
+        return z[None, None], ndk[None], nwk[None], nk, sweep
+
+    fn = shard_map(
+        local_sweeps,
+        mesh=mesh,
+        in_specs=(
+            P("data", "vocab"), P("data", "vocab"), P("data", "vocab"),  # tw td tm
+            P("data"),                                                    # dl
+            P("data", "vocab"), P("data"), P("vocab"), P(), P(), P(),     # z ndk nwk nk key sweep
+        ),
+        out_specs=(P("data", "vocab"), P("data"), P("vocab"), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(z, ndk, nwk, nk, key, sweep):
+        return fn(tw, td, tm, dl, z, ndk, nwk, nk, key, sweep)
+
+    return run
+
+
+class GridLda:
+    """DP×TP collapsed-Gibbs LDA over a 2D ('data', 'vocab') mesh."""
+
+    def __init__(
+        self,
+        config: LdaConfig,
+        corpus: FlatCorpus,
+        mesh: Optional[Mesh] = None,
+        p_data: Optional[int] = None,
+        p_vocab: Optional[int] = None,
+    ) -> None:
+        if mesh is None:
+            devs = jax.devices()
+            pd = p_data or max(1, len(devs) // (p_vocab or 2))
+            pv = p_vocab or max(1, len(devs) // pd)
+            mesh = Mesh(
+                np.array(devs[: pd * pv]).reshape(pd, pv), ("data", "vocab")
+            )
+        self.mesh = mesh
+        pd, pv = mesh.devices.shape
+        self.config = config
+        self.corpus = corpus
+        block = max(1, config.block_size)
+        self.shards = shard_corpus_grid(corpus, pd, pv, block_size=block)
+        block = min(block, self.shards.tokens_per_cell)
+        self.block_size = block
+
+        k = config.topic_num
+        v_s = max(
+            1,
+            ((self.shards.vocab_per_shard + 127) // 128) * 128,
+        )  # lane-aligned slab height
+        self._v_s = v_s
+        root = jax.random.PRNGKey(config.seed)
+        init_key, self._key = jax.random.split(root)
+        z = np.asarray(
+            jax.random.randint(
+                init_key, self.shards.token_word.shape, 0, k, jnp.int32
+            )
+        )
+        mask = self.shards.token_mask.astype(bool)
+        bounds = self.shards.vocab_bounds
+        ndk = np.zeros((pd, self.shards.docs_per_shard, k), dtype=np.int32)
+        nwk = np.zeros((pv, v_s, k), dtype=np.int32)
+        for i in range(pd):
+            for j in range(pv):
+                sel = mask[i, j]
+                np.add.at(ndk[i], (self.shards.token_doc[i, j][sel], z[i, j][sel]), 1)
+                np.add.at(nwk[j], (self.shards.token_word[i, j][sel], z[i, j][sel]), 1)
+        nk = nwk.sum(axis=(0, 1), dtype=np.int32)
+
+        spec = lambda *axes: NamedSharding(mesh, P(*axes))  # noqa: E731
+        self.z = jax.device_put(jnp.asarray(z), spec("data", "vocab"))
+        self.ndk = jax.device_put(jnp.asarray(ndk), spec("data"))
+        self.nwk = jax.device_put(jnp.asarray(nwk), spec("vocab"))
+        self.nk = jax.device_put(jnp.asarray(nk), spec())
+        self.sweep_idx = jnp.int32(0)
+
+        self._sweep_fn = make_grid_sweep_fn(
+            self.shards, mesh,
+            alpha=config.alpha, beta=config.beta, block_size=block,
+            draw_method=config.draw_method, num_sweeps=1,
+        )
+
+    # ------------------------------------------------------------------
+    def sweep(self, n: int = 1) -> None:
+        for _ in range(n):
+            self.z, self.ndk, self.nwk, self.nk, self.sweep_idx = self._sweep_fn(
+                self.z, self.ndk, self.nwk, self.nk, self._key, self.sweep_idx
+            )
+
+    # ------------------------------------------------------------------
+    def global_nwk(self) -> np.ndarray:
+        """Reassemble the global ``[V, K]`` word-topic table from the slabs."""
+        slabs = np.asarray(self.nwk)
+        bounds = self.shards.vocab_bounds
+        v = self.corpus.vocab_size
+        k = slabs.shape[-1]
+        out = np.zeros((v, k), dtype=slabs.dtype)
+        for j in range(self.shards.p_vocab):
+            lo, hi = int(bounds[j]), int(bounds[j + 1])
+            out[lo:hi] = slabs[j, : hi - lo]
+        return out
+
+    def phi(self) -> np.ndarray:
+        nwk = self.global_nwk().astype(np.float64)
+        nk = np.asarray(self.nk, dtype=np.float64)
+        v = nwk.shape[0]
+        return ((nwk + self.config.beta) / (nk + v * self.config.beta)).T
+
+    def theta(self) -> np.ndarray:
+        ndk = np.asarray(self.ndk)
+        k = ndk.shape[-1]
+        m = self.corpus.num_docs
+        out = np.zeros((m, k), dtype=np.float64)
+        lengths = self.corpus.doc_lengths()
+        for i in range(self.shards.p_data):
+            for local, g in enumerate(self.shards.doc_map[i]):
+                if g >= 0:
+                    out[g] = ndk[i, local]
+        return (out + self.config.alpha) / (lengths[:, None] + k * self.config.alpha)
+
+    # ------------------------------------------------------------------
+    def check_counts_consistent(self) -> None:
+        """Debug cross-check: recompute every table from ``z`` serially."""
+        z = np.asarray(self.z)
+        mask = self.shards.token_mask.astype(bool)
+        k = self.config.topic_num
+        pd, pv = self.shards.p_data, self.shards.p_vocab
+        ndk_ref = np.zeros((pd, self.shards.docs_per_shard, k), dtype=np.int64)
+        nwk_ref = np.zeros((pv, self._v_s, k), dtype=np.int64)
+        for i in range(pd):
+            for j in range(pv):
+                sel = mask[i, j]
+                np.add.at(ndk_ref[i], (self.shards.token_doc[i, j][sel], z[i, j][sel]), 1)
+                np.add.at(nwk_ref[j], (self.shards.token_word[i, j][sel], z[i, j][sel]), 1)
+        np.testing.assert_array_equal(np.asarray(self.ndk), ndk_ref)
+        np.testing.assert_array_equal(np.asarray(self.nwk), nwk_ref)
+        np.testing.assert_array_equal(
+            np.asarray(self.nk), nwk_ref.sum(axis=(0, 1))
+        )

@@ -39,11 +39,9 @@ class CorpusShards:
         return int(self.doc_lengths.shape[1])
 
 
-def shard_corpus(corpus: FlatCorpus, num_shards: int, block_size: int = 1) -> CorpusShards:
-    """Greedy token-balanced document partition, padded to uniform shapes."""
-    lengths = corpus.doc_lengths()
-    m = corpus.num_docs
-    # longest-processing-time greedy: biggest docs first onto lightest shard
+def assign_docs(lengths: np.ndarray, num_shards: int) -> list[list[int]]:
+    """Greedy token-balanced document partition (LPT: biggest docs first onto
+    the lightest shard), original doc order preserved within each shard."""
     order = np.argsort(-lengths, kind="stable")
     shard_docs: list[list[int]] = [[] for _ in range(num_shards)]
     shard_load = np.zeros(num_shards, dtype=np.int64)
@@ -51,9 +49,19 @@ def shard_corpus(corpus: FlatCorpus, num_shards: int, block_size: int = 1) -> Co
         p = int(np.argmin(shard_load))
         shard_docs[p].append(int(doc))
         shard_load[p] += int(lengths[doc])
-    # preserve original doc order within each shard (systematic-scan analog)
     for p in range(num_shards):
         shard_docs[p].sort()
+    return shard_docs
+
+
+def shard_corpus(corpus: FlatCorpus, num_shards: int, block_size: int = 1) -> CorpusShards:
+    """Greedy token-balanced document partition, padded to uniform shapes."""
+    lengths = corpus.doc_lengths()
+    m = corpus.num_docs
+    shard_docs = assign_docs(lengths, num_shards)
+    shard_load = np.array(
+        [sum(int(lengths[g]) for g in docs) for docs in shard_docs], dtype=np.int64
+    )
 
     m_s = max(1, max(len(s) for s in shard_docs))
     t_raw = max(1, int(shard_load.max()))
