@@ -35,8 +35,9 @@ def _exp_e_log_dirichlet(x: jax.Array) -> jax.Array:
 @functools.partial(jax.jit, static_argnames=("alpha", "eta", "e_steps", "total_docs"))
 def svi_step(
     lam: jax.Array,       # [K, V] global variational parameter
-    bow: jax.Array,       # [B, V] minibatch bag-of-words (float32)
+    bow: jax.Array,       # [B, V] minibatch bag-of-words (float32; padding rows all-zero)
     rho: jax.Array,       # [] step size
+    real: jax.Array,      # [] number of real (non-padding) documents in the batch
     *,
     alpha: float,
     eta: float,
@@ -60,8 +61,10 @@ def svi_step(
 
     e_log_theta = _exp_e_log_dirichlet(gamma)
     phinorm = e_log_theta @ e_log_beta + 1e-100
+    # all-zero padding rows contribute nothing to sstats; scale by the REAL
+    # batch size so the natural-gradient estimate stays unbiased
     sstats = e_log_beta * (e_log_theta.T @ (bow / phinorm))   # [K, V]
-    lam_hat = eta + (total_docs / b) * sstats
+    lam_hat = eta + (total_docs / real.astype(jnp.float32)) * sstats
     lam_new = (1.0 - rho) * lam + rho * lam_hat
     return lam_new, gamma
 
@@ -109,23 +112,46 @@ class SviModel:
         self._rng = np.random.default_rng(config.seed)
 
     # ------------------------------------------------------------------
-    def _minibatches(self):
-        m = self.corpus.num_docs
-        order = self._rng.permutation(m)
-        for s in range(0, m, self.batch_size):
-            yield order[s : s + self.batch_size]
+    def _epoch(self):
+        """Static-shape minibatches: (indices, zero-padded bow, real count)."""
+        from ldagibbssampling_tpu.data.stream import minibatch_indices
+
+        for idx, real in minibatch_indices(
+            self.corpus.num_docs, self.batch_size, self._rng
+        ):
+            bow = self._bow[idx]
+            if real < len(idx):
+                bow = bow.copy()
+                bow[real:] = 0.0  # padding rows: no sstats contribution
+            yield idx, bow, real
 
     def sweep(self, n: int = 1) -> None:
+        """One sweep = one epoch, streamed with host→device prefetch.
+
+        ``prefetch_to_device`` keeps the next batch's H2D transfer in flight
+        while ``svi_step`` runs on the current one (the PP-analog pipeline,
+        SURVEY.md §2.3).
+        """
+        from ldagibbssampling_tpu.data.stream import prefetch_to_device
+
         for _ in range(n):
-            for idx in self._minibatches():
+            metas = []
+
+            def batches():
+                for idx, bow, real in self._epoch():
+                    metas.append((idx, real))
+                    yield bow
+
+            for bow_dev in prefetch_to_device(batches()):
+                idx, real = metas[0]
+                metas.pop(0)
                 rho = (self.tau0 + self._step_idx) ** (-self.kappa)
-                bow = jnp.asarray(self._bow[idx])
                 self.lam, gamma = svi_step(
-                    self.lam, bow, jnp.float32(rho),
+                    self.lam, bow_dev, jnp.float32(rho), jnp.float32(real),
                     alpha=self.config.alpha, eta=self.eta,
                     e_steps=self.e_steps, total_docs=self.corpus.num_docs,
                 )
-                self._gamma_full[idx] = np.asarray(gamma)
+                self._gamma_full[idx[:real]] = np.asarray(gamma)[:real]
                 self._step_idx += 1
             self._sweeps += 1
 

@@ -1,0 +1,180 @@
+"""Token-sharded collapsed Gibbs — the sequence-parallel analog (SURVEY.md §2.3 SP).
+
+AD-LDA (``parallel/adlda.py``) assigns documents whole, so one multi-million-
+token document pins a shard.  Here the flat token stream is split EVENLY
+across the ``data`` axis regardless of document boundaries: a giant document's
+tokens land on many chips and its ``ndk`` row becomes a psum-reduced partial.
+Cheap because LDA's counts are sufficient statistics — there is no sequential
+dependence between a document's tokens beyond the count tables themselves.
+
+Layout: token ids keep GLOBAL doc ids; both ``ndk [M, K]`` and ``nwk [V, K]``
+are per-shard replicas reconciled with one ``psum`` of deltas per sweep (the
+same staleness approximation as AD-LDA, on both tables).  Perfect token
+balance by construction — the trade is ndk replica memory + an M·K psum.
+
+Reference anchor for preserved semantics: ``LdaModel.sampleTopicZ``
+(SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ldagibbssampling_tpu.config import LdaConfig
+from ldagibbssampling_tpu.corpus.flat import FlatCorpus
+from ldagibbssampling_tpu.models.state import SamplerState
+from ldagibbssampling_tpu.ops.gibbs import gibbs_sweep
+
+try:
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+
+def split_tokens(corpus: FlatCorpus, num_shards: int, block_size: int = 1):
+    """Even contiguous split of the token stream, each shard block-padded.
+
+    Returns int32 arrays ``token_word/token_doc/token_mask [P, T_s]`` with
+    GLOBAL doc ids.  Contiguous ranges keep the reference's systematic scan
+    order within each shard.
+    """
+    t = corpus.num_tokens
+    per = -(-max(t, 1) // num_shards)  # ceil
+    t_s = ((per + block_size - 1) // block_size) * block_size
+    tw = np.zeros((num_shards, t_s), dtype=np.int32)
+    td = np.zeros((num_shards, t_s), dtype=np.int32)
+    tm = np.zeros((num_shards, t_s), dtype=np.int32)
+    for p in range(num_shards):
+        lo = min(p * per, t)
+        hi = min(lo + per, t)
+        n = hi - lo
+        tw[p, :n] = corpus.token_word[lo:hi]
+        td[p, :n] = corpus.token_doc[lo:hi]
+        tm[p, :n] = 1
+    return tw, td, tm
+
+
+class TokenShardedLda:
+    """Token-stream-sharded Gibbs over a 1D ``data`` mesh (giant-doc mode)."""
+
+    def __init__(
+        self,
+        config: LdaConfig,
+        corpus: FlatCorpus,
+        mesh: Optional[Mesh] = None,
+        num_shards: Optional[int] = None,
+        axis: str = "data",
+    ) -> None:
+        if mesh is None:
+            devs = jax.devices()
+            n = num_shards or len(devs)
+            mesh = Mesh(np.array(devs[:n]), (axis,))
+        self.mesh = mesh
+        self.axis = axis
+        self.config = config
+        self.corpus = corpus
+        p = mesh.devices.size
+        block = max(1, config.block_size)
+        tw, td, tm = split_tokens(corpus, p, block_size=block)
+        self._tw, self._td, self._tm = tw, td, tm
+        block = min(block, tw.shape[1])
+        self.block_size = block
+        self.doc_lengths = corpus.doc_lengths()
+
+        k = config.topic_num
+        v = corpus.vocab_size
+        m = corpus.num_docs
+        root = jax.random.PRNGKey(config.seed)
+        init_key, self._key = jax.random.split(root)
+        z = np.asarray(jax.random.randint(init_key, tw.shape, 0, k, jnp.int32))
+        mask = tm.astype(bool)
+        ndk = np.zeros((m, k), dtype=np.int32)
+        nwk = np.zeros((v, k), dtype=np.int32)
+        np.add.at(ndk, (td[mask], z[mask]), 1)
+        np.add.at(nwk, (tw[mask], z[mask]), 1)
+        nk = nwk.sum(axis=0, dtype=np.int32)
+
+        shard = NamedSharding(mesh, P(axis))
+        repl = NamedSharding(mesh, P())
+        self.z = jax.device_put(jnp.asarray(z), shard)
+        self.ndk = jax.device_put(jnp.asarray(ndk), repl)
+        self.nwk = jax.device_put(jnp.asarray(nwk), repl)
+        self.nk = jax.device_put(jnp.asarray(nk), repl)
+        self.sweep_idx = jnp.int32(0)
+
+        dl = jnp.asarray(self.doc_lengths)
+        twj, tdj, tmj = jnp.asarray(tw), jnp.asarray(td), jnp.asarray(tm)
+        alpha, beta = config.alpha, config.beta
+        draw = config.draw_method
+        bsz = block
+
+        def local_sweep(tw, td, tm, z, ndk, nwk, nk, key, sweep):
+            tw, td, tm = tw[0], td[0], tm[0]
+            shard_key = jax.random.fold_in(key, lax.axis_index(axis))
+            state = SamplerState(z=z[0], ndk=ndk, nwk=nwk, nk=nk,
+                                 key=shard_key, sweep=sweep)
+            new = gibbs_sweep(
+                state, tw, td, tm, dl,
+                alpha=alpha, beta=beta, block_size=bsz, draw_method=draw,
+            )
+            # both tables are replicas here: psum deltas for each
+            dndk = lax.psum(new.ndk - ndk, axis)
+            dnwk = lax.psum(new.nwk - nwk, axis)
+            dnk = lax.psum(new.nk - nk, axis)
+            return new.z[None], ndk + dndk, nwk + dnwk, nk + dnk, new.sweep
+
+        fn = shard_map(
+            local_sweep,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis),
+                      P(axis), P(), P(), P(), P(), P()),
+            out_specs=(P(axis), P(), P(), P(), P()),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def run(z, ndk, nwk, nk, key, sweep):
+            return fn(twj, tdj, tmj, z, ndk, nwk, nk, key, sweep)
+
+        self._sweep_fn = run
+
+    # ------------------------------------------------------------------
+    def sweep(self, n: int = 1) -> None:
+        for _ in range(n):
+            self.z, self.ndk, self.nwk, self.nk, self.sweep_idx = self._sweep_fn(
+                self.z, self.ndk, self.nwk, self.nk, self._key, self.sweep_idx
+            )
+
+    # ------------------------------------------------------------------
+    def phi(self) -> np.ndarray:
+        nwk = np.asarray(self.nwk, dtype=np.float64)
+        nk = np.asarray(self.nk, dtype=np.float64)
+        v = nwk.shape[0]
+        return ((nwk + self.config.beta) / (nk + v * self.config.beta)).T
+
+    def theta(self) -> np.ndarray:
+        ndk = np.asarray(self.ndk, dtype=np.float64)
+        k = ndk.shape[1]
+        return (ndk + self.config.alpha) / (
+            self.doc_lengths[:, None] + k * self.config.alpha
+        )
+
+    # ------------------------------------------------------------------
+    def check_counts_consistent(self) -> None:
+        """Recompute all tables serially from ``z`` and compare."""
+        z = np.asarray(self.z)
+        mask = self._tm.astype(bool)
+        k = self.config.topic_num
+        ndk_ref = np.zeros((self.corpus.num_docs, k), dtype=np.int64)
+        nwk_ref = np.zeros((self.corpus.vocab_size, k), dtype=np.int64)
+        np.add.at(ndk_ref, (self._td[mask], z[mask]), 1)
+        np.add.at(nwk_ref, (self._tw[mask], z[mask]), 1)
+        np.testing.assert_array_equal(np.asarray(self.ndk), ndk_ref)
+        np.testing.assert_array_equal(np.asarray(self.nwk), nwk_ref)
+        np.testing.assert_array_equal(np.asarray(self.nk), nwk_ref.sum(axis=0))
