@@ -51,6 +51,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="populate --docs with the deterministic stand-in corpus first")
     ap.add_argument("--no-save", action="store_true",
                     help="skip artifact writing (timing / benchmark runs)")
+    # observability (SURVEY.md §5; none of these exist in the reference)
+    ap.add_argument("--metrics-file", default=None,
+                    help="append per-sweep JSONL metrics (throughput, LL) here")
+    ap.add_argument("--ll-every", type=int, default=0,
+                    help="compute training log-likelihood/perplexity every N sweeps")
+    ap.add_argument("--optimize-hyper-every", type=int, default=0,
+                    help="Minka fixed-point (alpha, beta) update every N sweeps")
+    ap.add_argument("--profile-dir", default=None,
+                    help="capture a jax.profiler trace of the run into this dir")
     return ap
 
 
@@ -116,12 +125,26 @@ def main(argv=None) -> int:
     def progress(i: int) -> None:
         print(f"Iteration {i}")
 
-    try:
-        run_inference(model, cfg, corpus, result_dir, progress=progress)
-    except ValueError as e:
-        # the reference's iterations < saveStep + beginSaveIters guard hard-exits
-        print(f"error: {e}", file=sys.stderr)
-        return 2
+    import contextlib
+
+    from ldagibbssampling_tpu.evaluation.tracing import MetricsLog, trace
+
+    with contextlib.ExitStack() as stack:
+        metrics = None
+        if args.metrics_file:
+            metrics = stack.enter_context(MetricsLog(args.metrics_file))
+        if args.profile_dir:
+            stack.enter_context(trace(args.profile_dir))
+        try:
+            run_inference(
+                model, cfg, corpus, result_dir, progress=progress,
+                metrics=metrics, ll_every=args.ll_every,
+                optimize_hyper_every=args.optimize_hyper_every,
+            )
+        except ValueError as e:
+            # the reference's iterations < saveStep + beginSaveIters guard hard-exits
+            print(f"error: {e}", file=sys.stderr)
+            return 2
     dt = time.perf_counter() - t0
 
     print("3 Output the final model ...")

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Callable, Optional
 
+import jax.numpy as jnp
 import numpy as np
 
 from ldagibbssampling_tpu.config import LdaConfig
@@ -35,6 +36,9 @@ class LdaModel:
         self.corpus = corpus
         self.doc_lengths = corpus.doc_lengths()
         self._oracle: Optional[OracleSampler] = None
+        # live hyperparameters (start at config; Minka optimization moves them)
+        self.alpha = float(config.alpha)
+        self.beta = float(config.beta)
 
         if config.sampler == "serial":
             self._oracle = OracleSampler(
@@ -66,7 +70,28 @@ class LdaModel:
             self._oracle.sweep(n)
         else:
             for _ in range(n):
-                self.state = self._run_sweeps(self.state)
+                self.state = self._run_sweeps(self.state, self.alpha, self.beta)
+
+    def optimize_hyperparameters(self, iters: int = 5) -> tuple[float, float]:
+        """Minka fixed-point update of (α, β) from the current count tables
+        (``models/hyper.py``; no reference analog — SURVEY.md §8.4).  The
+        updated values flow into subsequent sweeps as traced scalars, so this
+        never recompiles the sweep.  Not supported in serial-oracle mode
+        (the oracle is the Java-fidelity chain; the reference never adapts)."""
+        if self._oracle is not None:
+            raise NotImplementedError(
+                "hyperparameter optimization requires the device sampler"
+            )
+        from ldagibbssampling_tpu.models.hyper import optimize_alpha, optimize_beta
+
+        self.alpha = float(
+            optimize_alpha(self.state.ndk, jnp.asarray(self.doc_lengths),
+                           self.alpha, iters=iters)
+        )
+        self.beta = float(
+            optimize_beta(self.state.nwk, self.state.nk, self.beta, iters=iters)
+        )
+        return self.alpha, self.beta
 
     @property
     def sweeps_done(self) -> int:
@@ -79,7 +104,7 @@ class LdaModel:
         if self._oracle is not None:
             return self._oracle.phi()
         phi, _ = state_lib.phi_theta(
-            self.state, self.doc_lengths, self.config.alpha, self.config.beta
+            self.state, self.doc_lengths, self.alpha, self.beta
         )
         return np.asarray(phi)
 
@@ -87,7 +112,7 @@ class LdaModel:
         if self._oracle is not None:
             return self._oracle.theta()
         _, theta = state_lib.phi_theta(
-            self.state, self.doc_lengths, self.config.alpha, self.config.beta
+            self.state, self.doc_lengths, self.alpha, self.beta
         )
         return np.asarray(theta)
 

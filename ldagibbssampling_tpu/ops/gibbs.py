@@ -86,7 +86,8 @@ def gibbs_sweep(
         has_uniforms = True
     return _sweep_impl(
         state, token_word, token_doc, token_mask, doc_lengths, uniforms,
-        alpha=float(alpha), beta=float(beta), block_size=block_size,
+        jnp.asarray(alpha, jnp.float32), jnp.asarray(beta, jnp.float32),
+        block_size=block_size,
         draw_method=draw_method, prob_dtype=jnp.dtype(prob_dtype).name,
         has_uniforms=has_uniforms, use_pallas=use_pallas,
         pallas_interpret=pallas_interpret,
@@ -97,7 +98,7 @@ def gibbs_sweep(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "alpha", "beta", "block_size", "draw_method", "prob_dtype",
+        "block_size", "draw_method", "prob_dtype",
         "has_uniforms", "use_pallas", "pallas_interpret", "vocab_size",
     ),
 )
@@ -108,9 +109,9 @@ def _sweep_impl(
     token_mask: jax.Array,
     doc_lengths: jax.Array,
     uniforms: jax.Array,
+    alpha: jax.Array,   # [] f32 — traced so Minka updates don't recompile
+    beta: jax.Array,    # [] f32
     *,
-    alpha: float,
-    beta: float,
     block_size: int,
     draw_method: str,
     prob_dtype: str,
@@ -246,7 +247,9 @@ def make_sweep_fn(
     dl = jnp.asarray(doc_lengths, jnp.int32)
 
     @jax.jit
-    def run(state: SamplerState) -> SamplerState:
+    def run(state: SamplerState, alpha=alpha, beta=beta) -> SamplerState:
+        """``alpha``/``beta`` may be overridden per call (traced scalars, so
+        Minka hyperparameter updates never trigger a recompile)."""
         def one(_, s):
             return gibbs_sweep(
                 s, tw, td, tm, dl,

@@ -39,10 +39,13 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _sample_kernel(
-    seed_ref, zold_ref, nwk_ref, ndk_ref, nk_ref, noise_ref, out_ref,
-    *, alpha: float, beta: float, vbeta: float, k_real: int, noise_mode: str,
+    seed_ref, hyper_ref, zold_ref, nwk_ref, ndk_ref, nk_ref, noise_ref, out_ref,
+    *, k_real: int, noise_mode: str,
 ):
     bt, k_pad = nwk_ref.shape
+    alpha = hyper_ref[0]   # SMEM scalars: traced hyperparameters (Minka updates
+    beta = hyper_ref[1]    # change their values without recompiling the kernel)
+    vbeta = hyper_ref[2]
     cols = jax.lax.broadcasted_iota(jnp.int32, (bt, k_pad), dimension=1)
     excl = (cols == zold_ref[:]).astype(jnp.float32)
 
@@ -71,7 +74,7 @@ def _sample_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("alpha", "beta", "vbeta", "k_real", "noise_mode", "interpret", "row_tile"),
+    static_argnames=("k_real", "noise_mode", "interpret", "row_tile"),
 )
 def pallas_sample_block(
     nwk_rows: jax.Array,   # [B, K] float32 — gathered word-topic rows (raw, incl. self)
@@ -81,9 +84,9 @@ def pallas_sample_block(
     seed: jax.Array,       # []     int32
     noise: Optional[jax.Array] = None,  # [B, K] uniforms, only for noise_mode="external"
     *,
-    alpha: float,
-    beta: float,
-    vbeta: float,
+    alpha,                 # [] f32 (or float) — traced hyperparameters
+    beta,
+    vbeta,
     k_real: int,
     noise_mode: str = "internal",
     interpret: bool = False,
@@ -108,6 +111,11 @@ def pallas_sample_block(
     nk_p = jnp.pad(nk.astype(jnp.float32), (0, k_pad - k))[None, :]
     zold_p = jnp.pad(zold.astype(jnp.int32), (0, b_pad - b))[:, None]
     seed_arr = jnp.asarray(seed, jnp.int32)[None]
+    hyper_arr = jnp.stack([
+        jnp.asarray(alpha, jnp.float32),
+        jnp.asarray(beta, jnp.float32),
+        jnp.asarray(vbeta, jnp.float32),
+    ])
     if noise_mode == "external":
         if noise is None:
             raise ValueError("noise_mode='external' requires a noise array")
@@ -120,13 +128,12 @@ def pallas_sample_block(
     noise_index = (lambda i: (i, 0)) if noise_mode == "external" else (lambda i: (0, 0))
     out = pl.pallas_call(
         functools.partial(
-            _sample_kernel,
-            alpha=float(alpha), beta=float(beta), vbeta=float(vbeta),
-            k_real=k_real, noise_mode=noise_mode,
+            _sample_kernel, k_real=k_real, noise_mode=noise_mode,
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                      # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),                      # (α, β, Vβ)
             pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, k_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, k_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -136,5 +143,5 @@ def pallas_sample_block(
         out_specs=pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b_pad, 1), jnp.int32),
         interpret=interpret,
-    )(seed_arr, zold_p, nwk_p, ndk_p, nk_p, noise_p)
+    )(seed_arr, hyper_arr, zold_p, nwk_p, ndk_p, nk_p, noise_p)
     return out[:b, 0]

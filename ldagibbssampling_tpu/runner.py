@@ -16,6 +16,7 @@ import numpy as np
 from ldagibbssampling_tpu.backends.base import InferenceBackend
 from ldagibbssampling_tpu.config import LdaConfig
 from ldagibbssampling_tpu.corpus.flat import FlatCorpus
+from ldagibbssampling_tpu.evaluation.tracing import MetricsLog, SweepTimer
 from ldagibbssampling_tpu.lda_io.artifacts import save_iterated_model
 
 
@@ -51,10 +52,22 @@ def run_inference(
     corpus: FlatCorpus,
     result_dir: Optional[str | Path] = None,
     progress: Optional[Callable[[int], None]] = None,
+    metrics: Optional["MetricsLog"] = None,
+    ll_every: int = 0,
+    optimize_hyper_every: int = 0,
 ) -> None:
-    """The reference inference loop: sweep with the periodic save schedule."""
+    """The reference inference loop: sweep with the periodic save schedule.
+
+    Extensions over the reference (all opt-in, SURVEY.md §5):
+
+    - ``metrics`` + ``ll_every``: per-sweep throughput and (every ``ll_every``
+      sweeps) training log-likelihood/perplexity into a JSONL sink.
+    - ``optimize_hyper_every``: Minka fixed-point (α, β) updates every N
+      sweeps, for backends exposing ``optimize_hyperparameters``.
+    """
     if result_dir is not None:
         config.validate_reference_guard()
+    timer = SweepTimer(corpus.num_tokens)
     for i in range(config.iteration):
         if (
             result_dir is not None
@@ -62,6 +75,31 @@ def run_inference(
             and (i - config.begin_save_iters) % config.save_step == 0
         ):
             save_backend_model(backend, i, result_dir, corpus, config)
-        backend.sweep(1)
+        with timer:
+            backend.sweep(1)
+        if (
+            optimize_hyper_every > 0
+            and (i + 1) % optimize_hyper_every == 0
+            and hasattr(backend, "optimize_hyperparameters")
+        ):
+            backend.optimize_hyperparameters()
+        if metrics is not None:
+            scalars = {"tokens_per_s": timer.last_tokens_per_s}
+            if ll_every > 0 and (i + 1) % ll_every == 0:
+                from ldagibbssampling_tpu.evaluation.metrics import log_likelihood
+
+                ll = log_likelihood(backend.phi(), backend.theta(), corpus)
+                scalars["log_likelihood"] = ll
+                if corpus.num_tokens:
+                    scalars["perplexity"] = float(
+                        np.exp(-ll / corpus.num_tokens)
+                    )
+            alpha = getattr(backend, "alpha", None)
+            beta = getattr(backend, "beta", None)
+            if alpha is not None:
+                scalars["alpha"] = alpha
+            if beta is not None:
+                scalars["beta"] = beta
+            metrics.log(i, **scalars)
         if progress is not None:
             progress(i)
