@@ -1,0 +1,205 @@
+"""The BASELINE.md benchmark ladder, scaled to the available hardware.
+
+Five rungs (BASELINE.json ``configs``; SURVEY.md §6).  The public datasets
+(20NG, NYTimes, Wikipedia, PubMed) are not on this machine and there is no
+network, so rungs 2–5 run synthetic stand-ins with matching statistical shape
+(``data/synthetic.py``) at a ``--scale`` fraction of the real corpus size —
+the REPORTED numbers say so explicitly (``corpus: synthetic``).
+
+Each rung returns a JSON-able dict; ``main`` writes ``ladder_report.json``.
+
+Usage::
+
+    python -m ldagibbssampling_tpu.benchmarks.ladder --rungs 1,2 --scale 0.02
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+from ldagibbssampling_tpu.config import LdaConfig
+from ldagibbssampling_tpu.data.synthetic import planted_topic_corpus, zipf_corpus
+from ldagibbssampling_tpu.evaluation.metrics import perplexity
+
+
+def _block(model) -> None:
+    """Block until the model's device state is committed (async dispatch)."""
+    import jax
+
+    for attr in ("state", "z", "gamma", "lam"):
+        x = getattr(model, attr, None)
+        if x is not None and not callable(x):
+            jax.block_until_ready(x)
+            return
+
+
+def _timed_sweeps(model, n: int) -> float:
+    """Run n sweeps, return steady-state tokens/s (first sweep = compile)."""
+    model.sweep(1)
+    _block(model)
+    t0 = time.perf_counter()
+    model.sweep(n)
+    _block(model)
+    dt = time.perf_counter() - t0
+    return n * model.corpus.num_tokens / max(dt, 1e-9)
+
+
+def rung1(scale: float, sweeps: int = 200) -> dict:
+    """Mini-corpus fidelity: seeded oracle vs blocked device sweep, K=10."""
+    import tempfile
+
+    from ldagibbssampling_tpu.corpus.documents import Documents
+    from ldagibbssampling_tpu.corpus.flat import FlatCorpus
+    from ldagibbssampling_tpu.data import write_minicorpus
+    from ldagibbssampling_tpu.models.lda import LdaModel
+    from ldagibbssampling_tpu.models.oracle import OracleSampler
+
+    with tempfile.TemporaryDirectory() as d:
+        write_minicorpus(d, num_docs=20)
+        corpus = FlatCorpus.from_documents(Documents().read_docs(d))
+    cfg = LdaConfig(topic_num=10, alpha=0.5, beta=0.1, seed=42, block_size=64)
+    oracle = OracleSampler(corpus, 10, 0.5, 0.1, seed=42)
+    oracle.sweep(sweeps)
+    blocked = LdaModel(cfg, corpus)
+    blocked.sweep(sweeps)
+    p_oracle = perplexity(oracle.phi(), oracle.theta(), corpus)
+    p_blocked = perplexity(blocked.phi(), blocked.theta(), corpus)
+    return {
+        "rung": 1, "corpus": "stand-in mini-corpus", "K": 10,
+        "sweeps": sweeps, "tokens": corpus.num_tokens,
+        "perplexity_oracle": p_oracle, "perplexity_blocked": p_blocked,
+        "rel_gap": abs(p_oracle - p_blocked) / p_oracle,
+    }
+
+
+def rung2(scale: float, sweeps: int = 20) -> dict:
+    """20NG-shaped single-chip Gibbs: ~19k docs × scale, V=60k, K=20."""
+    from ldagibbssampling_tpu.models.lda import LdaModel
+
+    m = max(20, int(19_000 * scale))
+    v = max(200, int(60_000 * min(1.0, scale * 5)))
+    corpus, _ = planted_topic_corpus(m, v, 20, mean_doc_len=120, seed=1)
+    cfg = LdaConfig(topic_num=20, seed=0, block_size=16_384)
+    model = LdaModel(cfg, corpus)
+    tps = _timed_sweeps(model, sweeps)
+    return {
+        "rung": 2, "corpus": f"synthetic 20NG-shaped ({m} docs, V={v})",
+        "K": 20, "tokens": corpus.num_tokens, "sweeps": sweeps,
+        "tokens_per_s": tps,
+        "perplexity": perplexity(model.phi(), model.theta(), corpus),
+    }
+
+
+def rung3(scale: float, sweeps: int = 10) -> dict:
+    """NYT-shaped doc-sharded AD-LDA across all local devices."""
+    import jax
+
+    from ldagibbssampling_tpu.parallel.adlda import ShardedLda
+
+    m = max(40, int(300_000 * scale))
+    v = max(500, int(100_000 * min(1.0, scale * 5)))
+    corpus = zipf_corpus(m, v, mean_doc_len=300, seed=2)
+    n_dev = len(jax.devices())
+    cfg = LdaConfig(topic_num=100, seed=0, block_size=8_192)
+    model = ShardedLda(cfg, corpus, num_shards=n_dev)
+    model.sweep(1)
+    _block(model)
+    t0 = time.perf_counter()
+    model.sweep(sweeps)
+    _block(model)
+    dt = time.perf_counter() - t0
+    model.check_counts_consistent()
+    return {
+        "rung": 3, "corpus": f"synthetic NYT-shaped ({m} docs, V={v})",
+        "K": 100, "tokens": corpus.num_tokens, "devices": n_dev,
+        "sweeps": sweeps,
+        "tokens_per_s": sweeps * corpus.num_tokens / max(dt, 1e-9),
+        "counts_consistent": True,
+    }
+
+
+def rung4(scale: float, sweeps: int = 40) -> dict:
+    """Multi-chain R̂ + Minka hyperparameter adaptation (Wikipedia-rung shape)."""
+    from ldagibbssampling_tpu.models.chains import ChainSet
+    from ldagibbssampling_tpu.models.hyper import optimize_alpha, optimize_beta
+
+    m = max(40, int(4_000 * scale * 10))
+    v = max(300, int(20_000 * min(1.0, scale * 5)))
+    corpus, _ = planted_topic_corpus(m, v, 10, mean_doc_len=80, seed=3)
+    cfg = LdaConfig(topic_num=10, seed=0, block_size=8_192, chains=4)
+    chains = ChainSet(cfg, corpus, num_chains=4)
+    for _ in range(sweeps):
+        chains.sweep(1, record_ll=True)
+    rhat = chains.r_hat_ll()
+    s0 = chains.chain_state(0)
+    import jax.numpy as jnp
+
+    a = float(optimize_alpha(s0.ndk, jnp.asarray(corpus.doc_lengths()), cfg.alpha))
+    b = float(optimize_beta(s0.nwk, s0.nk, cfg.beta))
+    return {
+        "rung": 4, "corpus": f"synthetic ({m} docs, V={v})", "K": 10,
+        "chains": 4, "sweeps": sweeps, "r_hat_ll": rhat,
+        "alpha_opt": a, "beta_opt": b,
+    }
+
+
+def rung5(scale: float, sweeps: int = 15) -> dict:
+    """Backend shoot-out (PubMed-rung shape): Gibbs vs CVB0 vs SVI."""
+    from ldagibbssampling_tpu.backends.cvb0 import Cvb0Model
+    from ldagibbssampling_tpu.backends.svi import SviModel
+    from ldagibbssampling_tpu.models.lda import LdaModel
+
+    m = max(60, int(8_200_000 * scale / 100))
+    v = max(400, int(20_000 * min(1.0, scale * 5)))
+    corpus, _ = planted_topic_corpus(m, v, 15, mean_doc_len=100, seed=4)
+    cfg = LdaConfig(topic_num=15, seed=0, block_size=8_192)
+    out: dict = {
+        "rung": 5, "corpus": f"synthetic PubMed-shaped ({m} docs, V={v})",
+        "K": 15, "tokens": corpus.num_tokens, "sweeps": sweeps,
+    }
+    for name, model in [
+        ("gibbs", LdaModel(cfg, corpus)),
+        ("cvb0", Cvb0Model(cfg, corpus)),
+        ("svi", SviModel(cfg, corpus, batch_size=64)),
+    ]:
+        t0 = time.perf_counter()
+        model.sweep(sweeps)
+        _block(model)
+        dt = time.perf_counter() - t0
+        out[f"{name}_perplexity"] = perplexity(model.phi(), model.theta(), corpus)
+        out[f"{name}_tokens_per_s"] = sweeps * corpus.num_tokens / max(dt, 1e-9)
+    return out
+
+
+RUNGS = {1: rung1, 2: rung2, 3: rung3, 4: rung4, 5: rung5}
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="BASELINE.md benchmark ladder")
+    ap.add_argument("--rungs", default="1,2,3,4,5",
+                    help="comma-separated rung numbers")
+    ap.add_argument("--scale", type=float, default=0.01,
+                    help="fraction of the real corpus size for synthetic rungs")
+    ap.add_argument("--out", default="ladder_report.json")
+    args = ap.parse_args(argv)
+
+    report = {"scale": args.scale, "rungs": []}
+    for r in (int(x) for x in args.rungs.split(",") if x.strip()):
+        t0 = time.perf_counter()
+        res = RUNGS[r](args.scale)
+        res["wall_s"] = time.perf_counter() - t0
+        report["rungs"].append(res)
+        print(json.dumps(res), flush=True)
+    Path(args.out).write_text(json.dumps(report, indent=2))
+    print(f"wrote {args.out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
