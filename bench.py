@@ -27,7 +27,7 @@ NUM_TOPICS = int(sys.argv[2]) if len(sys.argv) > 2 else 500
 VOCAB = 50_000
 NUM_DOCS = 4_096
 BLOCK_SIZE = int(os.environ.get("LDA_BENCH_BLOCK", 32_768))  # measured best at K=500
-TIMED_SWEEPS = int(os.environ.get("LDA_BENCH_SWEEPS", 3))
+TIMED_SWEEPS = int(os.environ.get("LDA_BENCH_SWEEPS", 10))  # 3 is too noisy
 # Default is the XLA-fused jnp sweep: measured 12.6M tok/s vs 9.7M for the
 # v1 Pallas kernel at K=500 (the pallas_call boundary forces the gathered
 # [B,K] tiles to materialize in HBM; XLA fuses gather→draw without that).
