@@ -58,6 +58,12 @@ def main() -> None:
     t = (NUM_TOKENS // BLOCK_SIZE) * BLOCK_SIZE
     tw, td, dl = synth_corpus(t, VOCAB, NUM_DOCS)
     tm = np.ones(t, dtype=np.int32)
+    # within-block word sort: statistically free, enables the sorted-scatter
+    # fast path (+17% measured; see PaddedCorpus.sort_within_blocks)
+    for s in range(0, t, BLOCK_SIZE):
+        perm = np.argsort(tw[s : s + BLOCK_SIZE], kind="stable")
+        tw[s : s + BLOCK_SIZE] = tw[s : s + BLOCK_SIZE][perm]
+        td[s : s + BLOCK_SIZE] = td[s : s + BLOCK_SIZE][perm]
 
     state = init_state(
         tw, td, tm, num_docs=NUM_DOCS, vocab_size=VOCAB,
@@ -67,7 +73,7 @@ def main() -> None:
     run = make_sweep_fn(
         tw, td, tm, dl, alpha=0.5, beta=0.1,
         block_size=BLOCK_SIZE, draw_method="gumbel", num_sweeps=1,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, sorted_words=True,
     )
 
     # warmup / compile

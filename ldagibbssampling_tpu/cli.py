@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Minka fixed-point (alpha, beta) update every N sweeps")
     ap.add_argument("--profile-dir", default=None,
                     help="capture a jax.profiler trace of the run into this dir")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="orbax checkpoint directory (state + live alpha/beta)")
+    ap.add_argument("--checkpoint-every", type=int, default=0,
+                    help="checkpoint every N sweeps into --checkpoint-dir")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the latest checkpoint in --checkpoint-dir")
     return ap
 
 
@@ -119,6 +125,20 @@ def main(argv=None) -> int:
     print("1 Initialize the model ...")
     model = make_backend(cfg, corpus)
 
+    if args.resume:
+        if not args.checkpoint_dir:
+            print("error: --resume requires --checkpoint-dir", file=sys.stderr)
+            return 2
+        if not hasattr(model, "restore_checkpoint"):
+            print(f"error: backend {cfg.backend!r} does not support resume",
+                  file=sys.stderr)
+            return 2
+        from ldagibbssampling_tpu.lda_io.checkpoint import latest_step
+
+        if latest_step(args.checkpoint_dir) is not None:
+            step = model.restore_checkpoint(args.checkpoint_dir)
+            print(f"Resumed from sweep {step}")
+
     print("2 Learning and Saving the model ...")
     t0 = time.perf_counter()
 
@@ -140,6 +160,8 @@ def main(argv=None) -> int:
                 model, cfg, corpus, result_dir, progress=progress,
                 metrics=metrics, ll_every=args.ll_every,
                 optimize_hyper_every=args.optimize_hyper_every,
+                checkpoint_dir=args.checkpoint_dir,
+                checkpoint_every=args.checkpoint_every,
             )
         except ValueError as e:
             # the reference's iterations < saveStep + beginSaveIters guard hard-exits

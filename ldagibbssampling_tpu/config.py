@@ -34,8 +34,9 @@ class LdaConfig:
     chains: int = 1
     block_size: int = 2048  # tokens per blocked-Gibbs block; 1 => exact serial chain
     sampler: str = "blocked"  # blocked | serial (Java-fidelity, CPU)
-    use_pallas: bool = True  # use the fused Pallas kernel when on TPU
-    draw_method: str = "inverse_cdf"  # inverse_cdf | gumbel
+    use_pallas: bool = False  # fused Pallas kernel (measured: XLA path is faster)
+    draw_method: str = "gumbel"  # gumbel (fast path) | inverse_cdf (fidelity draw)
+    sort_blocks: bool = True  # word-sort tokens within blocks (sorted-scatter fast path)
     count_dtype: str = "int32"
     prob_dtype: str = "float32"
     # mesh: axis name -> size; empty = single device

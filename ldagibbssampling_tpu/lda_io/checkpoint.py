@@ -66,3 +66,59 @@ def restore_checkpoint(
             lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), like
         )
         return mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+
+
+# ---------------------------------------------------------------------------
+# Full-run checkpoints: sampler state + live hyperparameters.
+# SURVEY.md §5 names the checkpoint unit "(z, nwk, ndk, nk, rng_key,
+# sweep_idx, α, β)" — α/β became live values once Minka optimization landed.
+
+
+def save_run(
+    directory: str | Path,
+    state: SamplerState,
+    alpha: float,
+    beta: float,
+    *,
+    max_to_keep: int = 3,
+) -> int:
+    """Save the sampler state plus live (α, β); returns the step saved."""
+    import orbax.checkpoint as ocp
+
+    step = int(state.sweep)
+    with _manager(directory, max_to_keep) as mgr:
+        mgr.save(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(state),
+                hyper=ocp.args.JsonSave({"alpha": float(alpha), "beta": float(beta)}),
+            ),
+        )
+        mgr.wait_until_finished()
+    return step
+
+
+def restore_run(
+    directory: str | Path,
+    like: SamplerState,
+    step: Optional[int] = None,
+) -> tuple[SamplerState, float, float]:
+    """Restore ``(state, alpha, beta)`` saved by :func:`save_run`."""
+    import orbax.checkpoint as ocp
+
+    with _manager(directory) as mgr:
+        if step is None:
+            step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint found under {directory}")
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), like
+        )
+        out = mgr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(abstract),
+                hyper=ocp.args.JsonRestore(),
+            ),
+        )
+    return out["state"], float(out["hyper"]["alpha"]), float(out["hyper"]["beta"])

@@ -50,6 +50,11 @@ class LdaModel:
             block = max(1, min(config.block_size, max(1, corpus.num_tokens)))
             self.block_size = block
             pc = corpus.pad_to(block)
+            self._perm = None
+            if config.sort_blocks and block > 1:
+                # statistically-free reorder: within-block word sort enables
+                # the sorted-scatter fast path (PaddedCorpus.sort_within_blocks)
+                pc, self._perm = pc.sort_within_blocks(block)
             self._padded = pc
             self.state = state_lib.init_state(
                 pc.token_word, pc.token_doc, pc.token_mask,
@@ -62,6 +67,7 @@ class LdaModel:
                 pc.token_word, pc.token_doc, pc.token_mask, self.doc_lengths,
                 alpha=config.alpha, beta=config.beta, block_size=block,
                 draw_method=config.draw_method, num_sweeps=1,
+                sorted_words=self._perm is not None,
             )
 
     # ------------------------------------------------------------------
@@ -120,7 +126,31 @@ class LdaModel:
         """Topic assignments of the real (unpadded) tokens, corpus order."""
         if self._oracle is not None:
             return self._oracle.z.copy()
-        return np.asarray(self.state.z)[: self.corpus.num_tokens]
+        z = np.asarray(self.state.z)
+        if self._perm is not None:
+            # device z lives in block-sorted space; map back to corpus order
+            z_orig = np.empty_like(z)
+            z_orig[self._perm] = z
+            z = z_orig
+        return z[: self.corpus.num_tokens]
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, directory: str | Path) -> int:
+        """Orbax checkpoint of the full run (state + live α/β)."""
+        if self.state is None:
+            raise NotImplementedError("serial-oracle mode has no device state")
+        from ldagibbssampling_tpu.lda_io.checkpoint import save_run
+
+        return save_run(directory, self.state, self.alpha, self.beta)
+
+    def restore_checkpoint(self, directory: str | Path) -> int:
+        """Resume from the latest checkpoint; returns the restored sweep index."""
+        if self.state is None:
+            raise NotImplementedError("serial-oracle mode has no device state")
+        from ldagibbssampling_tpu.lda_io.checkpoint import restore_run
+
+        self.state, self.alpha, self.beta = restore_run(directory, self.state)
+        return int(self.state.sweep)
 
     # ------------------------------------------------------------------
     def save_iterated_model(self, iteration: int, result_dir: str | Path):

@@ -63,6 +63,7 @@ def gibbs_sweep(
     use_pallas: bool = False,
     pallas_interpret: bool = False,
     vocab_size: Optional[int] = None,
+    sorted_words: bool = False,
 ) -> SamplerState:
     """Run one full sweep (every token resampled once); returns the new state.
 
@@ -92,6 +93,7 @@ def gibbs_sweep(
         has_uniforms=has_uniforms, use_pallas=use_pallas,
         pallas_interpret=pallas_interpret,
         vocab_size=None if vocab_size is None else int(vocab_size),
+        sorted_words=sorted_words,
     )
 
 
@@ -100,6 +102,7 @@ def gibbs_sweep(
     static_argnames=(
         "block_size", "draw_method", "prob_dtype",
         "has_uniforms", "use_pallas", "pallas_interpret", "vocab_size",
+        "sorted_words",
     ),
 )
 def _sweep_impl(
@@ -119,6 +122,7 @@ def _sweep_impl(
     use_pallas: bool = False,
     pallas_interpret: bool = False,
     vocab_size: Optional[int] = None,
+    sorted_words: bool = False,
 ) -> SamplerState:
     prob_dtype = jnp.dtype(prob_dtype)
     t_pad = token_word.shape[0]
@@ -208,7 +212,9 @@ def _sweep_impl(
         delta = onehot_new - onehot_old  # [B, K]
         # Scatter-adds accumulate over duplicate doc/word ids within the block.
         ndk = ndk.at[d].add(delta)
-        nwk = nwk.at[w].add(delta)
+        # sorted_words: caller guarantees w ascends within the block (see
+        # PaddedCorpus.sort_within_blocks) -> XLA sorted-scatter fast path
+        nwk = nwk.at[w].add(delta, indices_are_sorted=sorted_words)
         nk = nk + delta.sum(axis=0, dtype=count_dtype)
         z = lax.dynamic_update_slice(z, znew, (start,))
         return z, ndk, nwk, nk
@@ -234,6 +240,7 @@ def make_sweep_fn(
     num_sweeps: int = 1,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    sorted_words: bool = False,
 ):
     """Build a jitted ``state -> state`` function running ``num_sweeps`` sweeps.
 
@@ -255,7 +262,7 @@ def make_sweep_fn(
                 s, tw, td, tm, dl,
                 alpha=alpha, beta=beta, block_size=block_size,
                 draw_method=draw_method, use_pallas=use_pallas,
-                pallas_interpret=pallas_interpret,
+                pallas_interpret=pallas_interpret, sorted_words=sorted_words,
             )
         return lax.fori_loop(0, num_sweeps, one, state)
 

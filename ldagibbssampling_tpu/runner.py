@@ -55,6 +55,8 @@ def run_inference(
     metrics: Optional["MetricsLog"] = None,
     ll_every: int = 0,
     optimize_hyper_every: int = 0,
+    checkpoint_dir: Optional[str | Path] = None,
+    checkpoint_every: int = 0,
 ) -> None:
     """The reference inference loop: sweep with the periodic save schedule.
 
@@ -64,11 +66,15 @@ def run_inference(
       sweeps) training log-likelihood/perplexity into a JSONL sink.
     - ``optimize_hyper_every``: Minka fixed-point (α, β) updates every N
       sweeps, for backends exposing ``optimize_hyperparameters``.
+    - ``checkpoint_dir`` + ``checkpoint_every``: orbax checkpoints every N
+      sweeps (backends exposing ``save_checkpoint``); the loop starts at the
+      backend's ``sweeps_done``, so a restored backend resumes mid-schedule.
     """
     if result_dir is not None:
         config.validate_reference_guard()
     timer = SweepTimer(corpus.num_tokens)
-    for i in range(config.iteration):
+    start = int(getattr(backend, "sweeps_done", 0))
+    for i in range(start, config.iteration):
         if (
             result_dir is not None
             and i >= config.begin_save_iters
@@ -83,6 +89,13 @@ def run_inference(
             and hasattr(backend, "optimize_hyperparameters")
         ):
             backend.optimize_hyperparameters()
+        if (
+            checkpoint_dir is not None
+            and checkpoint_every > 0
+            and (i + 1) % checkpoint_every == 0
+            and hasattr(backend, "save_checkpoint")
+        ):
+            backend.save_checkpoint(checkpoint_dir)
         if metrics is not None:
             scalars = {"tokens_per_s": timer.last_tokens_per_s}
             if ll_every > 0 and (i + 1) % ll_every == 0:
