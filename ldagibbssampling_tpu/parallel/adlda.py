@@ -46,6 +46,7 @@ def make_sharded_sweep_fn(
     draw_method: str = "gumbel",
     num_sweeps: int = 1,
     axis: str = "data",
+    sorted_words: bool = False,
 ):
     """Build a jitted AD-LDA sweep: ``(z, ndk, nwk, nk, key, sweep) -> same``.
 
@@ -70,7 +71,7 @@ def make_sharded_sweep_fn(
             new = gibbs_sweep(
                 state, tw, td, tm, dl,
                 alpha=alpha, beta=beta, block_size=block_size,
-                draw_method=draw_method,
+                draw_method=draw_method, sorted_words=sorted_words,
             )
             # AD-LDA reconciliation: one psum of the word-topic deltas
             dnwk = lax.psum(new.nwk - nwk, axis)
@@ -125,6 +126,14 @@ class ShardedLda:
         # block size never exceeds a shard's token stream
         block = min(block, self.shards.tokens_per_shard)
         self.block_size = block
+        self._sorted = bool(getattr(config, "sort_blocks", False)) and block > 1
+        if self._sorted:
+            from ldagibbssampling_tpu.parallel.sharding import sort_blocks_inplace
+
+            sort_blocks_inplace(
+                self.shards.token_word, self.shards.token_doc,
+                self.shards.token_mask, block_size=block,
+            )
 
         k = config.topic_num
         v = corpus.vocab_size
@@ -153,6 +162,7 @@ class ShardedLda:
             self.shards, mesh,
             alpha=config.alpha, beta=config.beta, block_size=block,
             draw_method=config.draw_method, num_sweeps=1, axis=axis,
+            sorted_words=self._sorted,
         )
 
     # ------------------------------------------------------------------

@@ -167,6 +167,7 @@ def make_grid_sweep_fn(
     block_size: int,
     draw_method: str = "gumbel",
     num_sweeps: int = 1,
+    sorted_words: bool = False,
 ):
     """Jitted grid sweep ``(z, ndk, nwk, nk, key, sweep) -> same``.
 
@@ -200,6 +201,7 @@ def make_grid_sweep_fn(
                 state, tw, td, tm, dl,
                 alpha=alpha, beta=beta, block_size=block_size,
                 draw_method=draw_method, vocab_size=v_global,
+                sorted_words=sorted_words,
             )
             dnwk = lax.psum(new.nwk - nwk, "data")
             dndk = lax.psum(new.ndk - ndk, "vocab")
@@ -256,6 +258,14 @@ class GridLda:
         self.shards = shard_corpus_grid(corpus, pd, pv, block_size=block)
         block = min(block, self.shards.tokens_per_cell)
         self.block_size = block
+        self._sorted = bool(getattr(config, "sort_blocks", False)) and block > 1
+        if self._sorted:
+            from ldagibbssampling_tpu.parallel.sharding import sort_blocks_inplace
+
+            sort_blocks_inplace(
+                self.shards.token_word, self.shards.token_doc,
+                self.shards.token_mask, block_size=block,
+            )
 
         k = config.topic_num
         v_s = max(
@@ -292,6 +302,7 @@ class GridLda:
             self.shards, mesh,
             alpha=config.alpha, beta=config.beta, block_size=block,
             draw_method=config.draw_method, num_sweeps=1,
+            sorted_words=self._sorted,
         )
 
     # ------------------------------------------------------------------

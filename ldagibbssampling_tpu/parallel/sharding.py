@@ -39,6 +39,31 @@ class CorpusShards:
         return int(self.doc_lengths.shape[1])
 
 
+def sort_blocks_inplace(
+    token_word: np.ndarray, *others: np.ndarray, block_size: int
+) -> None:
+    """Word-sort each ``block_size`` block of the LAST axis, in place.
+
+    Applies the same permutation to every array in ``others`` (doc ids,
+    masks).  Works on any leading shard dims (``[T]``, ``[P, T]``,
+    ``[Pd, Pv, T]``).  Within-block order is statistically irrelevant to the
+    blocked sweep (snapshot semantics), and ascending word ids enable the
+    XLA sorted-scatter fast path (``gibbs_sweep(sorted_words=True)``).
+    """
+    t = token_word.shape[-1]
+    if t % block_size != 0:
+        raise ValueError(f"stream length {t} not a multiple of {block_size}")
+    flat_w = token_word.reshape(-1, t)
+    flat_o = [o.reshape(-1, t) for o in others]
+    for r in range(flat_w.shape[0]):
+        for s in range(0, t, block_size):
+            sl = slice(s, s + block_size)
+            perm = np.argsort(flat_w[r, sl], kind="stable")
+            flat_w[r, sl] = flat_w[r, sl][perm]
+            for o in flat_o:
+                o[r, sl] = o[r, sl][perm]
+
+
 def assign_docs(lengths: np.ndarray, num_shards: int) -> list[list[int]]:
     """Greedy token-balanced document partition (LPT: biggest docs first onto
     the lightest shard), original doc order preserved within each shard."""

@@ -82,9 +82,14 @@ class TokenShardedLda:
         p = mesh.devices.size
         block = max(1, config.block_size)
         tw, td, tm = split_tokens(corpus, p, block_size=block)
-        self._tw, self._td, self._tm = tw, td, tm
         block = min(block, tw.shape[1])
         self.block_size = block
+        self._sorted = bool(getattr(config, "sort_blocks", False)) and block > 1
+        if self._sorted:
+            from ldagibbssampling_tpu.parallel.sharding import sort_blocks_inplace
+
+            sort_blocks_inplace(tw, td, tm, block_size=block)
+        self._tw, self._td, self._tm = tw, td, tm
         self.doc_lengths = corpus.doc_lengths()
 
         k = config.topic_num
@@ -113,6 +118,7 @@ class TokenShardedLda:
         alpha, beta = config.alpha, config.beta
         draw = config.draw_method
         bsz = block
+        sorted_flag = self._sorted
 
         def local_sweep(tw, td, tm, z, ndk, nwk, nk, key, sweep):
             tw, td, tm = tw[0], td[0], tm[0]
@@ -122,6 +128,7 @@ class TokenShardedLda:
             new = gibbs_sweep(
                 state, tw, td, tm, dl,
                 alpha=alpha, beta=beta, block_size=bsz, draw_method=draw,
+                sorted_words=sorted_flag,
             )
             # both tables are replicas here: psum deltas for each
             dndk = lax.psum(new.ndk - ndk, axis)
