@@ -35,6 +35,14 @@ _EXPORTS = {
     "LdaModel": "ldagibbssampling_tpu.models.lda",
     "OracleSampler": "ldagibbssampling_tpu.models.oracle",
     "JavaRandom": "ldagibbssampling_tpu.utils.javarandom",
+    "ChainSet": "ldagibbssampling_tpu.models.chains",
+    "MultiChainModel": "ldagibbssampling_tpu.models.chains",
+    "ShardedLda": "ldagibbssampling_tpu.parallel.adlda",
+    "GridLda": "ldagibbssampling_tpu.parallel.grid",
+    "TokenShardedLda": "ldagibbssampling_tpu.parallel.tokenshard",
+    "make_backend": "ldagibbssampling_tpu.backends.base",
+    "InferenceBackend": "ldagibbssampling_tpu.backends.base",
+    "run_inference": "ldagibbssampling_tpu.runner",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]

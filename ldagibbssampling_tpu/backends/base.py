@@ -29,6 +29,10 @@ class InferenceBackend(Protocol):
 def make_backend(config: "LdaConfig", corpus: "FlatCorpus") -> InferenceBackend:
     """Construct the backend selected by ``config.backend``."""
     if config.backend == "gibbs":
+        if config.chains > 1 and config.sampler == "blocked":
+            from ldagibbssampling_tpu.models.chains import MultiChainModel
+
+            return MultiChainModel(config, corpus)
         from ldagibbssampling_tpu.models.lda import LdaModel
 
         return LdaModel(config, corpus)

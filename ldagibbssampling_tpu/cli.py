@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--begin-save-iters", dest="begin_save_iters", type=int, default=None)
     # engine knobs
     ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--chains", type=int, default=None,
+                    help="independent Gibbs chains (>1: R-hat tracked, chain 0 exported)")
     ap.add_argument("--sampler", choices=["blocked", "serial"], default=None)
     ap.add_argument("--backend", choices=["gibbs", "cvb0", "svi", "smc"], default=None)
     ap.add_argument("--block-size", dest="block_size", type=int, default=None)
@@ -71,7 +73,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 _OVERRIDE_FIELDS = (
     "alpha", "beta", "topic_num", "iteration", "save_step", "begin_save_iters",
-    "seed", "sampler", "backend", "block_size", "draw_method",
+    "seed", "chains", "sampler", "backend", "block_size", "draw_method",
 )
 
 

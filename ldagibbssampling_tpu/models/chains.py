@@ -119,3 +119,43 @@ class ChainSet:
         are averaged in the permutation-invariant predictive sense only)."""
         phis = [self.chain_phi_theta(c)[0] for c in range(self.num_chains)]
         return np.mean(phis, axis=0)
+
+
+class MultiChainModel:
+    """InferenceBackend adapter over :class:`ChainSet` (``config.chains > 1``).
+
+    Artifacts (φ, θ, z) come from chain 0 — the reference is single-chain, so
+    its output contract is one chain's state — while all chains advance for
+    the R̂ convergence diagnostic (exposed as ``r_hat()``, logged by the
+    runner's metrics when present).
+    """
+
+    def __init__(self, config: LdaConfig, corpus: FlatCorpus) -> None:
+        self.config = config
+        self.corpus = corpus
+        self.chains = ChainSet(config, corpus, num_chains=max(2, config.chains))
+        self._sweeps = 0
+
+    def sweep(self, n: int = 1) -> None:
+        self.chains.sweep(n, record_ll=True)
+        self._sweeps += n
+
+    @property
+    def sweeps_done(self) -> int:
+        return self._sweeps
+
+    def phi(self) -> np.ndarray:
+        return self.chains.chain_phi_theta(0)[0]
+
+    def theta(self) -> np.ndarray:
+        return self.chains.chain_phi_theta(0)[1]
+
+    def z(self) -> np.ndarray:
+        s = self.chains.chain_state(0)
+        return np.asarray(s.z)[: self.corpus.num_tokens]
+
+    def r_hat(self) -> float:
+        return self.chains.r_hat_ll()
+
+    def mean_phi(self) -> np.ndarray:
+        return self.chains.mean_phi()

@@ -113,6 +113,11 @@ def run_inference(
                 scalars["alpha"] = alpha
             if beta is not None:
                 scalars["beta"] = beta
+            r_hat_fn = getattr(backend, "r_hat", None)
+            if callable(r_hat_fn):
+                rh = r_hat_fn()
+                if rh == rh:  # skip NaN (needs >= 4 recorded sweeps)
+                    scalars["r_hat"] = rh
             metrics.log(i, **scalars)
         if progress is not None:
             progress(i)
