@@ -110,3 +110,79 @@ def oracle_vs_blocked(
         "z_ll": z_score(fa.ll_per_token, fb.ll_per_token),
         "z_entropy": z_score(fa.topic_entropy, fb.topic_entropy),
     }
+
+
+def serial_vs_parallel(
+    corpus: FlatCorpus,
+    k: int,
+    runtime: str,
+    *,
+    alpha: float = 0.5,
+    beta: float = 0.1,
+    sweeps: int = 40,
+    seeds: Sequence[int] = (0, 1, 2, 3),
+    block_size: int = 64,
+    num_shards: int = 4,
+) -> dict:
+    """Parity report: single-device blocked family vs a multi-device runtime.
+
+    ``runtime`` ∈ {"adlda", "grid", "tokenshard"}.  This is the chain-
+    correctness gate for the parallel update schemes (SURVEY.md §7 hard-part
+    1): the AD-LDA/grid staleness must not bias the posterior functionals
+    beyond MC error of the single-device blocked chain.
+
+    Measured behavior (tests/test_parallel_parity.py): stale parallel updates
+    MIX SLOWER — at short budgets (≈30 sweeps) the parallel families sit
+    measurably closer to the high-entropy init (z up to ~20 on topic
+    entropy), but this is a transient, not a stationary bias: by ~150 sweeps
+    on a planted-topic corpus the same functionals agree to <1% with
+    |z| ≲ 1.  Parity must therefore be asserted POST burn-in; matched
+    SHORT budgets compare transients and will flag mixing-speed differences
+    as false biases.
+    """
+    import jax
+
+    from ldagibbssampling_tpu.models.lda import LdaModel
+
+    def run_single(seed: int):
+        cfg = LdaConfig(topic_num=k, alpha=alpha, beta=beta, seed=seed,
+                        block_size=block_size)
+        m = LdaModel(cfg, corpus)
+        m.sweep(sweeps)
+        return m.phi(), m.theta()
+
+    def run_parallel(seed: int):
+        cfg = LdaConfig(topic_num=k, alpha=alpha, beta=beta, seed=seed,
+                        block_size=block_size)
+        if runtime == "adlda":
+            from ldagibbssampling_tpu.parallel.adlda import ShardedLda
+
+            m = ShardedLda(cfg, corpus, num_shards=num_shards)
+        elif runtime == "tokenshard":
+            from ldagibbssampling_tpu.parallel.tokenshard import TokenShardedLda
+
+            m = TokenShardedLda(cfg, corpus, num_shards=num_shards)
+        elif runtime == "grid":
+            import numpy as _np
+
+            from ldagibbssampling_tpu.parallel.grid import GridLda
+
+            devs = jax.devices()
+            pd = max(1, num_shards // 2)
+            mesh = jax.sharding.Mesh(
+                _np.array(devs[: pd * 2]).reshape(pd, 2), ("data", "vocab")
+            )
+            m = GridLda(cfg, corpus, mesh=mesh)
+        else:
+            raise ValueError(f"unknown runtime {runtime!r}")
+        m.sweep(sweeps)
+        return m.phi(), m.theta()
+
+    fa = run_family("single", corpus, run_single, seeds)
+    fb = run_family(runtime, corpus, run_parallel, seeds)
+    return {
+        "single": fa.summary(),
+        runtime: fb.summary(),
+        "z_ll": z_score(fa.ll_per_token, fb.ll_per_token),
+        "z_entropy": z_score(fa.topic_entropy, fb.topic_entropy),
+    }
