@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="checkpoint every N sweeps into --checkpoint-dir")
     ap.add_argument("--resume", action="store_true",
                     help="resume from the latest checkpoint in --checkpoint-dir")
+    ap.add_argument("--infer-docs", default=None,
+                    help="after training, fold-in unseen documents from this "
+                         "directory (trained vocabulary; new words dropped) and "
+                         "write inferred.theta/.tassign to --results")
     return ap
 
 
@@ -174,6 +178,27 @@ def main(argv=None) -> int:
     print("3 Output the final model ...")
     if result_dir is not None:
         save_backend_model(model, cfg.iteration, result_dir, corpus, cfg)
+
+    if args.infer_docs:
+        infer_dir = Path(args.infer_docs)
+        if not infer_dir.is_dir():
+            print(f"error: --infer-docs directory {infer_dir} does not exist",
+                  file=sys.stderr)
+            return 2
+        out_dir = result_dir if result_dir is not None else Path(".")
+        from ldagibbssampling_tpu.lda_io.infer import infer_new_docs
+
+        alpha_live = float(getattr(model, "alpha", cfg.alpha))
+        summary = infer_new_docs(
+            model.phi(), infer_dir, docs.term_to_index, alpha_live, out_dir,
+            seed=cfg.seed,
+        )
+        print(
+            f"Inferred {summary['num_docs']} new docs "
+            f"({summary['num_tokens']} tokens, "
+            f"{summary['dropped_unknown_terms']} unknown terms dropped) "
+            f"-> {summary['theta']}"
+        )
     tokens = corpus.num_tokens * cfg.iteration
     print(f"Done: {cfg.iteration} sweeps over {corpus.num_tokens} tokens in "
           f"{dt:.2f}s ({tokens / max(dt, 1e-9):,.0f} tokens resampled/s)")
