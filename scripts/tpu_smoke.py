@@ -16,10 +16,14 @@ Prints one PASS/FAIL line per check; exits non-zero on any failure.
 
 from __future__ import annotations
 
+import os
 import sys
 import tempfile
 
 import numpy as np
+
+# runnable as `python scripts/tpu_smoke.py` from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
