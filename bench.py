@@ -26,12 +26,14 @@ NUM_TOKENS = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 20   # ~1.05M
 NUM_TOPICS = int(sys.argv[2]) if len(sys.argv) > 2 else 500
 VOCAB = 50_000
 NUM_DOCS = 4_096
-BLOCK_SIZE = int(os.environ.get("LDA_BENCH_BLOCK", 32_768))  # measured best at K=500
+BLOCK_SIZE = int(os.environ.get("LDA_BENCH_BLOCK", 65_536))  # measured best at K=500 (fused)
 TIMED_SWEEPS = int(os.environ.get("LDA_BENCH_SWEEPS", 10))  # 3 is too noisy
-# Default is the XLA-fused jnp sweep: measured 12.6M tok/s vs 9.7M for the
-# v1 Pallas kernel at K=500 (the pallas_call boundary forces the gathered
-# [B,K] tiles to materialize in HBM; XLA fuses gather→draw without that).
-USE_PALLAS = os.environ.get("LDA_BENCH_PALLAS", "0") == "1"
+# Kernel tier (LDA_BENCH_PALLAS): "0" = pure-XLA sweep, "1" = v1 draw kernel
+# (measured slower: the pallas_call boundary re-materializes the gathered
+# [B,K] tiles), "fused" = v2 fused block kernel (doc-slab + topic totals +
+# PRNG in VMEM) — the default on TPU.
+_PALLAS_ENV = os.environ.get("LDA_BENCH_PALLAS", "fused")
+USE_PALLAS = {"0": False, "1": True, "fused": "fused"}[_PALLAS_ENV]
 BASELINE_TOKENS_PER_S = 2e4  # BASELINE.md serial-Java estimate, upper end
 
 
@@ -69,7 +71,7 @@ def main() -> None:
         tw, td, tm, num_docs=NUM_DOCS, vocab_size=VOCAB,
         num_topics=NUM_TOPICS, seed=0,
     )
-    use_pallas = USE_PALLAS and dev.platform == "tpu"
+    use_pallas = USE_PALLAS if dev.platform == "tpu" else False
     run = make_sweep_fn(
         tw, td, tm, dl, alpha=0.5, beta=0.1,
         block_size=BLOCK_SIZE, draw_method="gumbel", num_sweeps=1,

@@ -110,6 +110,40 @@ class PaddedCorpus:
     def num_tokens(self) -> int:
         return int(self.token_word.shape[0])
 
+    def doc_slabs(
+        self, block_size: int, d_loc_multiple: int = 8
+    ) -> tuple[np.ndarray, np.ndarray, int]:
+        """Per-block doc-slab layout for the fused Pallas sweep.
+
+        Because the token stream is doc-major, each ``block_size`` block touches
+        a *contiguous* range of document ids; the fused kernel keeps that range
+        as a VMEM-resident ``[D_LOC, K]`` slab.  Returns
+        ``(d_local [T_pad], d0 [num_blocks], d_loc)`` where
+        ``d_local = token_doc - d0[block]`` (0 for padding tokens) and
+        ``d_loc`` is the maximum block span rounded up to ``d_loc_multiple``.
+        ``d0`` is clamped so ``d0 + d_loc <= num_docs`` whenever
+        ``num_docs >= d_loc`` (slabs may overlap; the sweep is sequential, so
+        overlapping writes are ordered).
+        """
+        t = self.num_tokens
+        if t % block_size != 0:
+            raise ValueError(f"padded length {t} not a multiple of {block_size}")
+        nb = t // block_size
+        d0 = np.zeros(nb, dtype=np.int32)
+        span = 1
+        for i in range(nb):
+            s = slice(i * block_size, (i + 1) * block_size)
+            docs = self.token_doc[s][self.token_mask[s] > 0]
+            if docs.size:
+                d0[i] = docs.min()
+                span = max(span, int(docs.max()) - int(d0[i]) + 1)
+        d_loc = ((span + d_loc_multiple - 1) // d_loc_multiple) * d_loc_multiple
+        d0 = np.maximum(np.minimum(d0, self.num_docs - d_loc), 0).astype(np.int32)
+        d_local = (
+            (self.token_doc - np.repeat(d0, block_size)) * self.token_mask
+        ).astype(np.int32)
+        return d_local, d0, int(d_loc)
+
     def sort_within_blocks(self, block_size: int) -> tuple["PaddedCorpus", np.ndarray]:
         """Stable-sort each ``block_size`` block by word id.
 

@@ -63,10 +63,14 @@ class LdaModel:
             )
             from ldagibbssampling_tpu.ops.gibbs import make_sweep_fn
 
+            use_pallas = config.use_pallas
+            if config.draw_method != "gumbel" and use_pallas == "fused":
+                use_pallas = False  # fidelity draws use the XLA inverse-CDF path
             self._run_sweeps = make_sweep_fn(
                 pc.token_word, pc.token_doc, pc.token_mask, self.doc_lengths,
                 alpha=config.alpha, beta=config.beta, block_size=block,
                 draw_method=config.draw_method, num_sweeps=1,
+                use_pallas=use_pallas,
                 sorted_words=self._perm is not None,
             )
 

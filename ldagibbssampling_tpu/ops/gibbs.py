@@ -227,6 +227,157 @@ def _sweep_impl(
     )
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pick_row_tile(block_size: int, cap: int = 512) -> int:
+    """Largest divisor of ``block_size`` that is <= ``cap``.
+
+    512 rows x 512 padded topics keeps the fused kernel's working set inside
+    the ~16 MB VMEM scoped limit (1024 OOMs at K=500); power-of-two blocks
+    get 512 exactly.
+    """
+    t = min(cap, block_size)
+    while block_size % t:
+        t -= 1
+    return t
+
+
+def fused_gibbs_sweep(
+    state: SamplerState,
+    token_word: jax.Array,
+    token_dloc: jax.Array,
+    token_mask: jax.Array,
+    d0_blocks: jax.Array,
+    *,
+    alpha,
+    beta,
+    block_size: int,
+    d_loc: int,
+    row_tile: int = 1024,
+    sorted_words: bool = False,
+    noise_mode: str = "internal",
+    pallas_interpret: bool = False,
+    vocab_size: Optional[int] = None,
+) -> SamplerState:
+    """One sweep through the fused Pallas block kernel (TPU fast path).
+
+    Per block, the kernel (``ops/pallas_gibbs.pallas_fused_block``) runs the
+    whole reference inner loop (``LdaModel.sampleTopicZ``) except the
+    word-topic scatter: exclusion, conditional, on-core Gumbel noise, argmax,
+    and the doc-slab/topic-total count updates — all VMEM-resident.  XLA
+    contributes the word-row gather and the sorted-row scatter of the kernel's
+    delta.  Requires a doc-major token stream and the ``doc_slabs`` layout
+    from ``PaddedCorpus`` (``token_dloc = token_doc - d0[block]``).
+
+    Count updates run in float32 (exact for counts < 2^24; guarded in
+    ``make_sweep_fn``); the returned state keeps the input count dtype.
+    """
+    return _fused_sweep_impl(
+        state, token_word, token_dloc, token_mask, d0_blocks,
+        jnp.asarray(alpha, jnp.float32), jnp.asarray(beta, jnp.float32),
+        block_size=block_size, d_loc=d_loc, row_tile=row_tile,
+        sorted_words=sorted_words, noise_mode=noise_mode,
+        pallas_interpret=pallas_interpret,
+        vocab_size=None if vocab_size is None else int(vocab_size),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "block_size", "d_loc", "row_tile", "sorted_words", "noise_mode",
+        "pallas_interpret", "vocab_size",
+    ),
+)
+def _fused_sweep_impl(
+    state: SamplerState,
+    token_word: jax.Array,
+    token_dloc: jax.Array,
+    token_mask: jax.Array,
+    d0_blocks: jax.Array,
+    alpha: jax.Array,
+    beta: jax.Array,
+    *,
+    block_size: int,
+    d_loc: int,
+    row_tile: int,
+    sorted_words: bool,
+    noise_mode: str,
+    pallas_interpret: bool,
+    vocab_size: Optional[int],
+) -> SamplerState:
+    from ldagibbssampling_tpu.ops.pallas_gibbs import pallas_fused_block
+
+    t_pad = token_word.shape[0]
+    if t_pad % block_size or block_size % row_tile:
+        raise ValueError(
+            f"token count {t_pad} / block {block_size} / row_tile {row_tile} misaligned"
+        )
+    num_blocks = t_pad // block_size
+    m, k = state.ndk.shape
+    v = state.nwk.shape[0] if vocab_size is None else vocab_size
+    count_dtype = state.nwk.dtype
+    k_pad = _round_up(k, 128)
+    m_pad = max(m, d_loc)
+
+    # padded float32 working tables (pad topics hold zero counts and are
+    # masked to -inf inside the kernel, so they are never sampled)
+    nwk_p = jnp.pad(state.nwk, ((0, 0), (0, k_pad - k))).astype(jnp.float32)
+    ndk_p = jnp.pad(state.ndk, ((0, m_pad - m), (0, k_pad - k))).astype(jnp.float32)
+    nk_p = jnp.pad(state.nk, (0, k_pad - k)).astype(jnp.float32)[None, :]
+
+    sweep_key = jax.random.fold_in(state.key, state.sweep)
+    seed = jax.random.randint(sweep_key, (), 0, 2**31 - 1 - num_blocks, jnp.int32)
+    vbeta = v * beta
+
+    if noise_mode == "external":
+        # CPU / test path: the on-core PRNG is TPU-only
+        uniforms = jax.random.uniform(
+            sweep_key, (t_pad, k_pad), jnp.float32,
+            minval=1e-7, maxval=1.0 - 1e-7,
+        )
+    else:
+        uniforms = jnp.zeros((1, k_pad), jnp.float32)
+
+    def body(i, carry):
+        z, ndk, nwk, nk = carry
+        start = i * block_size
+        w = lax.dynamic_slice(token_word, (start,), (block_size,))
+        dloc = lax.dynamic_slice(token_dloc, (start,), (block_size,))
+        msk = lax.dynamic_slice(token_mask, (start,), (block_size,))
+        zold = lax.dynamic_slice(z, (start,), (block_size,))
+        noise = (
+            lax.dynamic_slice(uniforms, (start, 0), (block_size, k_pad))
+            if noise_mode == "external" else None
+        )
+        rows = nwk[w]
+        slab = lax.dynamic_slice(ndk, (d0_blocks[i], 0), (d_loc, k_pad))
+        znew, delta, slab_out, nk_out = pallas_fused_block(
+            rows, slab, nk, zold, dloc, msk, seed + i, noise,
+            alpha=alpha, beta=beta, vbeta=vbeta, k_real=k,
+            noise_mode=noise_mode, interpret=pallas_interpret,
+            row_tile=row_tile,
+        )
+        ndk = lax.dynamic_update_slice(ndk, slab_out, (d0_blocks[i], 0))
+        nwk = nwk.at[w].add(delta, indices_are_sorted=sorted_words)
+        z = lax.dynamic_update_slice(z, znew.astype(zold.dtype), (start,))
+        return z, ndk, nwk, nk_out
+
+    z, ndk_p, nwk_p, nk_p = lax.fori_loop(
+        0, num_blocks, body, (state.z, ndk_p, nwk_p, nk_p)
+    )
+    return SamplerState(
+        z=z,
+        ndk=ndk_p[:m, :k].astype(count_dtype),
+        nwk=nwk_p[:, :k].astype(count_dtype),
+        nk=nk_p[0, :k].astype(count_dtype),
+        key=state.key,
+        sweep=state.sweep + 1,
+    )
+
+
 def make_sweep_fn(
     token_word: Any,
     token_doc: Any,
@@ -247,11 +398,67 @@ def make_sweep_fn(
     Token arrays are closed over as constants (they never change during
     inference), so XLA can lay them out once; multiple sweeps run as a
     ``lax.fori_loop`` inside one compilation.
+
+    ``use_pallas`` selects the kernel tier: ``False`` → pure-XLA sweep,
+    ``True`` → v1 draw kernel, ``"fused"`` → v2 fused block kernel (doc-slab
+    and topic totals updated in VMEM; requires ``draw_method='gumbel'`` and a
+    doc-major token stream).
     """
+    import numpy as np
+
     tw = jnp.asarray(token_word, jnp.int32)
     td = jnp.asarray(token_doc, jnp.int32)
     tm = jnp.asarray(token_mask, jnp.int32)
     dl = jnp.asarray(doc_lengths, jnp.int32)
+
+    if use_pallas and jax.default_backend() != "tpu" and not pallas_interpret:
+        # Mosaic kernels need a TPU; on CPU/GPU fall back to the pure-XLA
+        # sweep (tests exercise the kernels explicitly via interpret mode)
+        use_pallas = False
+
+    if use_pallas == "fused" and block_size < 128:
+        # tiny blocks (fidelity modes) don't amortize a kernel launch and
+        # break Mosaic's minimum tile shapes — use the XLA sweep
+        use_pallas = False
+
+    if use_pallas == "fused":
+        if draw_method != "gumbel":
+            raise ValueError("fused kernel requires draw_method='gumbel'")
+        from ldagibbssampling_tpu.corpus.flat import PaddedCorpus
+
+        td_host = np.asarray(token_doc, np.int32)
+        tm_host = np.asarray(token_mask, np.int32)
+        num_docs = int(td_host.max()) + 1 if td_host.size else 1
+        pc = PaddedCorpus(
+            token_word=np.asarray(token_word, np.int32),
+            token_doc=td_host, token_mask=tm_host,
+            num_real_tokens=int(tm_host.sum()),
+            vocab_size=0, num_docs=num_docs,
+        )
+        # MXU-friendly slab height (contraction dim of the one-hot gather)
+        d_local, d0, d_loc = pc.doc_slabs(block_size, d_loc_multiple=128)
+        if int(tm_host.sum()) >= (1 << 24):
+            raise ValueError(
+                "fused kernel tracks counts in float32, exact only below 2^24 "
+                "tokens; use the XLA sweep (use_pallas=False) at this scale"
+            )
+        row_tile = _pick_row_tile(block_size)
+        tdl = jnp.asarray(d_local)
+        jd0 = jnp.asarray(d0)
+        noise_mode = "external" if pallas_interpret else "internal"
+
+        @jax.jit
+        def run_fused(state: SamplerState, alpha=alpha, beta=beta) -> SamplerState:
+            def one(_, s):
+                return fused_gibbs_sweep(
+                    s, tw, tdl, tm, jd0,
+                    alpha=alpha, beta=beta, block_size=block_size,
+                    d_loc=d_loc, row_tile=row_tile, sorted_words=sorted_words,
+                    noise_mode=noise_mode, pallas_interpret=pallas_interpret,
+                )
+            return lax.fori_loop(0, num_sweeps, one, state)
+
+        return run_fused
 
     @jax.jit
     def run(state: SamplerState, alpha=alpha, beta=beta) -> SamplerState:

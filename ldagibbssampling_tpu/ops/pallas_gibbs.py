@@ -38,6 +38,201 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# ---------------------------------------------------------------------------
+# v2: fused block kernel — the whole per-block body except the nwk scatter.
+#
+# The v1 kernel (below) fuses only the draw; XLA still gathers/scatters the
+# doc-topic table and materializes a [B,K] Gumbel tensor per block.  Measured
+# on TPU v5e at K=500 those pieces cost ~17 ms (ndk scatter), ~11 ms (threefry
+# RNG) and ~4 ms (ndk gather) of a 64 ms sweep.  v2 removes all three: the
+# block's doc-topic rows live in VMEM as a [D_LOC, K] slab (doc ids are
+# contiguous within a block because the token stream is doc-major), gathered
+# and updated with tiny one-hot matmuls on the MXU, noise comes from the
+# on-core PRNG, and the only HBM traffic is the gathered word-topic rows in
+# and (znew, delta) out.  The delta goes to XLA's sorted-row scatter, which
+# remains the fastest word-topic update primitive (measured: scalar scatters
+# are 2-6x slower, one-hot matmuls through HBM are worse still).
+# ---------------------------------------------------------------------------
+
+
+def _fused_kernel(
+    seed_ref, hyper_ref, zold_ref, dloc_ref, msk_ref, nwk_ref,
+    ndk_init_ref, nk_init_ref, noise_ref,
+    znew_ref, delta_ref, ndk_ref, nk_ref,
+    *, k_real: int, noise_mode: str,
+):
+    bt, k_pad = nwk_ref.shape
+    d_loc = ndk_ref.shape[0]
+    i = pl.program_id(0)
+
+    # first tile: seed the VMEM-resident accumulators (constant index_map
+    # keeps these output blocks resident across the whole grid)
+    @pl.when(i == 0)
+    def _():
+        ndk_ref[:] = ndk_init_ref[:]
+        nk_ref[:] = nk_init_ref[:]
+
+    alpha = hyper_ref[0]
+    beta = hyper_ref[1]
+    vbeta = hyper_ref[2]
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bt, k_pad), dimension=1)
+    mskf = (msk_ref[:] > 0).astype(jnp.float32)           # [bt, 1]
+    excl = (cols == zold_ref[:]).astype(jnp.float32) * mskf
+
+    # gather the tile's doc rows from the VMEM slab by one-hot matmul (no
+    # dynamic vector indexing needed; [bt, D_LOC] @ [D_LOC, K] on the MXU).
+    # All matmuls run in bfloat16 (the MXU's native rate; f32 matmuls cost
+    # ~6x): the one-hot is 0/1-exact in bf16, and the count slab is split
+    # hi/lo so each half is a bf16-exact integer < 256 (exact for doc
+    # lengths < 65536), recombined in the f32 accumulator type.
+    drange = jax.lax.broadcasted_iota(jnp.int32, (bt, d_loc), dimension=1)
+    ohd = ((drange == dloc_ref[:]) & (msk_ref[:] > 0)).astype(jnp.bfloat16)
+    slab = ndk_ref[:]
+    slab_hi = jnp.floor(slab * (1.0 / 256.0))
+    slab_lo = slab - slab_hi * 256.0
+    ndk_rows = (
+        jnp.dot(ohd, slab_hi.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32) * 256.0
+        + jnp.dot(ohd, slab_lo.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    )
+
+    # Exponential-race draw in product space: argmax_k p_k / E_k with
+    # E_k ~ Exp(1) iid is an exact categorical(p) sample, and costs ONE
+    # transcendental (log u) instead of the five of log-space Gumbel
+    # (3 conditional logs + log(-log u)).  The kernel is compute-bound on
+    # the VPU, so transcendental count is the sweep's critical path.
+    p = (
+        (nwk_ref[:] - excl + beta)
+        * (ndk_rows - excl + alpha)
+        * pl.reciprocal(nk_ref[:] - excl + vbeta, approx=True)
+    )
+    if noise_mode == "internal":
+        pltpu.prng_seed(seed_ref[0] + i)
+        bits = pltpu.bitcast(pltpu.prng_random_bits((bt, k_pad)), jnp.int32)
+        u = (bits & 0xFFFFFF).astype(jnp.float32) * (1.0 / (1 << 24)) + (
+            0.5 / (1 << 24)
+        )
+        score = p * pl.reciprocal(-jnp.log(u), approx=True)
+    elif noise_mode == "external":
+        score = p * pl.reciprocal(-jnp.log(noise_ref[:]), approx=True)
+    else:
+        # "deterministic": pure argmax of the conditional — identical to the
+        # log-space argmax (monotone map), the kernel-vs-jnp equality hook
+        score = p
+
+    score = jnp.where(cols < k_real, score, -1.0)
+    znew = jnp.argmax(score, axis=1, keepdims=True).astype(jnp.int32)
+    znew = jnp.where(msk_ref[:] > 0, znew, zold_ref[:])
+    znew_ref[:] = znew
+
+    delta = (cols == znew).astype(jnp.float32) * mskf - excl
+    delta_ref[:] = delta
+    # in-VMEM count updates: later tiles of the block see fresh doc counts
+    # (bf16 matmul is exact: one-hot 0/1 against ±1 deltas, f32 accumulate)
+    ndk_ref[:] += jax.lax.dot_general(
+        ohd, delta.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    nk_ref[:] += jnp.sum(delta, axis=0, keepdims=True)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_real", "noise_mode", "interpret", "row_tile"),
+)
+def pallas_fused_block(
+    nwk_rows: jax.Array,   # [B, Kp] f32 — gathered word-topic rows (Kp = K rounded to 128)
+    ndk_slab: jax.Array,   # [D_LOC, Kp] f32 — the block's doc-topic slab
+    nk: jax.Array,         # [1, Kp] f32 — topic totals
+    zold: jax.Array,       # [B] int32
+    d_local: jax.Array,    # [B] int32 — doc id relative to the slab origin
+    msk: jax.Array,        # [B] int32 — 1 real, 0 padding
+    seed: jax.Array,       # [] int32
+    noise: Optional[jax.Array] = None,  # [B, Kp] uniforms for noise_mode="external"
+    *,
+    alpha,
+    beta,
+    vbeta,
+    k_real: int,
+    noise_mode: str = "internal",
+    interpret: bool = False,
+    row_tile: int = 512,
+):
+    """Fused block step: draw + doc-slab/nk updates in VMEM.
+
+    Returns ``(znew [B] int32, delta [B, Kp] f32, ndk_slab' [D_LOC, Kp] f32,
+    nk' [1, Kp] f32)``.  The caller applies ``delta`` to the word-topic table
+    (sorted-row scatter) and writes the slab back with a dynamic update slice.
+    Shapes must be pre-padded: ``Kp % 128 == 0``, ``B % row_tile == 0``,
+    ``D_LOC % 8 == 0``.
+    """
+    if noise_mode not in ("internal", "external", "deterministic"):
+        raise ValueError(f"unknown noise_mode {noise_mode!r}")
+    b, k_pad = nwk_rows.shape
+    d_loc = ndk_slab.shape[0]
+    if k_pad % 128 or b % row_tile or d_loc % 8:
+        raise ValueError(
+            f"pre-padded shapes required: B={b} (row_tile {row_tile}), "
+            f"Kp={k_pad}, D_LOC={d_loc}"
+        )
+    bt = row_tile
+    seed_arr = jnp.asarray(seed, jnp.int32)[None]
+    hyper_arr = jnp.stack([
+        jnp.asarray(alpha, jnp.float32),
+        jnp.asarray(beta, jnp.float32),
+        jnp.asarray(vbeta, jnp.float32),
+    ])
+    if noise_mode == "external":
+        if noise is None:
+            raise ValueError("noise_mode='external' requires a noise array")
+        noise_in = noise.astype(jnp.float32)
+        noise_index = lambda i: (i, 0)  # noqa: E731
+        noise_block = bt
+    else:
+        noise_in = jnp.full((8, k_pad), 0.5, jnp.float32)  # never read
+        noise_index = lambda i: (0, 0)  # noqa: E731
+        noise_block = 8
+
+    grid = (b // bt,)
+    znew, delta, ndk_out, nk_out = pl.pallas_call(
+        functools.partial(
+            _fused_kernel, k_real=k_real, noise_mode=noise_mode,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                        # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),                        # (α, β, Vβ)
+            pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, k_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_loc, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((noise_block, k_pad), noise_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, k_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_loc, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 1), jnp.int32),
+            jax.ShapeDtypeStruct((b, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((d_loc, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, k_pad), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        seed_arr, hyper_arr, zold[:, None], d_local[:, None], msk[:, None],
+        nwk_rows.astype(jnp.float32), ndk_slab.astype(jnp.float32),
+        nk.astype(jnp.float32), noise_in,
+    )
+    return znew[:, 0], delta, ndk_out, nk_out
+
+
 def _sample_kernel(
     seed_ref, hyper_ref, zold_ref, nwk_ref, ndk_ref, nk_ref, noise_ref, out_ref,
     *, k_real: int, noise_mode: str,
