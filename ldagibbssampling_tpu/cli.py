@@ -20,7 +20,6 @@ import time
 from pathlib import Path
 
 from ldagibbssampling_tpu.config import LdaConfig
-from ldagibbssampling_tpu.corpus.documents import Documents
 from ldagibbssampling_tpu.corpus.flat import FlatCorpus
 
 
@@ -108,12 +107,15 @@ def main(argv=None) -> int:
               "(use --generate-minicorpus for the stand-in corpus)", file=sys.stderr)
         return 2
 
-    docs = Documents().read_docs(docs_dir)
-    print(f"wordMap size {docs.vocab_size}")
-    if docs.total_tokens == 0:
+    # native C++ ingest tier when available (identical output on ASCII
+    # corpora; see corpus/native.py), Python fidelity pipeline otherwise
+    from ldagibbssampling_tpu.corpus.native import read_docs_flat
+
+    corpus = read_docs_flat(docs_dir)
+    print(f"wordMap size {corpus.vocab_size}")
+    if corpus.num_tokens == 0:
         print("error: corpus has no tokens after preprocessing", file=sys.stderr)
         return 2
-    corpus = FlatCorpus.from_documents(docs)
 
     result_dir = None if args.no_save else Path(args.results)
     if result_dir is not None:
@@ -189,8 +191,9 @@ def main(argv=None) -> int:
         from ldagibbssampling_tpu.lda_io.infer import infer_new_docs
 
         alpha_live = float(getattr(model, "alpha", cfg.alpha))
+        term_to_index = {t: i for i, t in enumerate(corpus.vocab)}
         summary = infer_new_docs(
-            model.phi(), infer_dir, docs.term_to_index, alpha_live, out_dir,
+            model.phi(), infer_dir, term_to_index, alpha_live, out_dir,
             seed=cfg.seed,
         )
         print(

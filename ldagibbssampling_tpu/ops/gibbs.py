@@ -232,16 +232,20 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_row_tile(block_size: int, cap: int = 512) -> int:
-    """Largest divisor of ``block_size`` that is <= ``cap``.
+    """Largest multiple-of-8 divisor of ``block_size`` that is <= ``cap``.
 
-    512 rows x 512 padded topics keeps the fused kernel's working set inside
-    the ~16 MB VMEM scoped limit (1024 OOMs at K=500); power-of-two blocks
-    get 512 exactly.
+    Mosaic block shapes need sublane-dim % 8 == 0 (unless the block equals the
+    whole array — see the single-tile path in ``make_sweep_fn``).  512 rows x
+    512 padded topics keeps the fused kernel's working set inside the ~16 MB
+    VMEM scoped limit (1024 OOMs at K=500); power-of-two blocks get 512
+    exactly.  Returns 0 when no valid tile exists (awkward block sizes like
+    2·647 — callers fall back to single-tile or the XLA sweep).
     """
     t = min(cap, block_size)
-    while block_size % t:
-        t -= 1
-    return t
+    for cand in range(t - t % 8, 7, -8):
+        if block_size % cand == 0:
+            return cand
+    return 0
 
 
 def fused_gibbs_sweep(
@@ -443,6 +447,18 @@ def make_sweep_fn(
                 "tokens; use the XLA sweep (use_pallas=False) at this scale"
             )
         row_tile = _pick_row_tile(block_size)
+        if row_tile == 0:
+            if block_size <= 2048:
+                # single tile: block shape == array shape is exempt from the
+                # sublane-divisibility rule, and small enough for VMEM
+                row_tile = block_size
+            else:
+                return make_sweep_fn(  # no Mosaic-legal tiling: XLA sweep
+                    token_word, token_doc, token_mask, doc_lengths,
+                    alpha=alpha, beta=beta, block_size=block_size,
+                    draw_method=draw_method, num_sweeps=num_sweeps,
+                    use_pallas=False, sorted_words=sorted_words,
+                )
         tdl = jnp.asarray(d_local)
         jd0 = jnp.asarray(d0)
         noise_mode = "external" if pallas_interpret else "internal"

@@ -81,8 +81,11 @@ def test_pick_row_tile():
     assert _pick_row_tile(32768) == 512
     assert _pick_row_tile(512) == 512
     assert _pick_row_tile(128) == 128
-    assert _pick_row_tile(600) == 300  # largest divisor <= 512
+    # largest multiple-of-8 divisor <= 512
+    assert _pick_row_tile(600) == 200
     assert 600 % _pick_row_tile(600) == 0
+    # no multiple-of-8 divisor at all (2*647) -> 0 (single-tile/XLA fallback)
+    assert _pick_row_tile(1294) == 0
 
 
 # ---------------------------------------------------------------------------
@@ -293,6 +296,25 @@ def test_fused_guard_rejects_giant_f32_unsafe_corpora(monkeypatch):
             alpha=0.5, beta=0.1, block_size=BLOCK,
             use_pallas="fused", pallas_interpret=True,
         )
+
+
+def test_fused_awkward_block_single_tile():
+    # 2*647 block: no multiple-of-8 row tile exists -> single-tile kernel
+    fc = _corpus(seed=8)
+    pc = fc.pad_to(1294)
+    state = init_state(
+        pc.token_word, pc.token_doc, pc.token_mask,
+        num_docs=pc.num_docs, vocab_size=pc.vocab_size, num_topics=K, seed=4,
+    )
+    run = make_sweep_fn(
+        pc.token_word, pc.token_doc, pc.token_mask, fc.doc_lengths(),
+        alpha=0.5, beta=0.1, block_size=1294, num_sweeps=1,
+        use_pallas="fused", pallas_interpret=True,
+    )
+    out = run(state)
+    ndk, nwk = _recount(pc, np.asarray(out.z))
+    np.testing.assert_array_equal(np.asarray(out.ndk), ndk)
+    np.testing.assert_array_equal(np.asarray(out.nwk), nwk)
 
 
 def test_fused_small_block_falls_back_to_xla():
