@@ -36,6 +36,52 @@ except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 
+def _fused_shard_plan(shards: CorpusShards, block_size: int):
+    """Host-side doc-slab layout per shard for the fused kernel.
+
+    Returns ``(d_local [P, T_s], d0 [P, nb], d_loc, row_tile)`` or ``None``
+    when the fused path is not applicable (no Mosaic-legal tile, or counts
+    would overflow the kernel's float32 tracking).
+    """
+    from ldagibbssampling_tpu.corpus.flat import PaddedCorpus
+    from ldagibbssampling_tpu.ops.gibbs import _pick_row_tile
+
+    if shards.num_real_tokens >= (1 << 24):
+        return None
+    row_tile = _pick_row_tile(block_size)
+    if row_tile == 0:
+        if block_size > 2048:
+            return None
+        row_tile = block_size  # single tile: block == array shape is exempt
+
+    p = shards.num_shards
+    per = []
+    for s in range(p):
+        pcs = PaddedCorpus(
+            token_word=shards.token_word[s], token_doc=shards.token_doc[s],
+            token_mask=shards.token_mask[s],
+            num_real_tokens=int(shards.token_mask[s].sum()),
+            vocab_size=shards.vocab_size, num_docs=shards.docs_per_shard,
+        )
+        per.append(pcs.doc_slabs(block_size, d_loc_multiple=128))
+    d_loc = max(pl[2] for pl in per)
+    if per and any(pl[2] != d_loc for pl in per):
+        # recompute with the uniform (max) slab height so the shard_map'd
+        # program has one static shape
+        per = []
+        for s in range(p):
+            pcs = PaddedCorpus(
+                token_word=shards.token_word[s], token_doc=shards.token_doc[s],
+                token_mask=shards.token_mask[s],
+                num_real_tokens=int(shards.token_mask[s].sum()),
+                vocab_size=shards.vocab_size, num_docs=shards.docs_per_shard,
+            )
+            per.append(pcs.doc_slabs(block_size, d_loc_multiple=d_loc))
+    d_local = np.stack([pl[0] for pl in per])
+    d0 = np.stack([pl[1] for pl in per])
+    return d_local, d0, d_loc, row_tile
+
+
 def make_sharded_sweep_fn(
     shards: CorpusShards,
     mesh: Mesh,
@@ -47,19 +93,42 @@ def make_sharded_sweep_fn(
     num_sweeps: int = 1,
     axis: str = "data",
     sorted_words: bool = False,
+    use_pallas: bool | str = False,
+    pallas_interpret: bool = False,
 ):
     """Build a jitted AD-LDA sweep: ``(z, ndk, nwk, nk, key, sweep) -> same``.
 
     ``z``/``ndk`` are sharded on ``axis`` (leading dim = shard); ``nwk``/``nk``
     are replicated.  Runs ``num_sweeps`` full sweeps, reconciling ``nwk`` with
     a psum of deltas after every sweep.
+
+    ``use_pallas="fused"`` runs each shard's local sweep through the fused
+    block kernel (``ops/gibbs.fused_gibbs_sweep``) — the same per-device
+    kernel as single-chip, with the psum reconciliation unchanged.  Falls back
+    to the XLA sweep off-TPU or when no Mosaic-legal layout exists.
     """
     tw = jnp.asarray(shards.token_word)
     td = jnp.asarray(shards.token_doc)
     tm = jnp.asarray(shards.token_mask)
     dl = jnp.asarray(shards.doc_lengths)
 
-    def local_sweeps(tw, td, tm, dl, z, ndk, nwk, nk, key, sweep):
+    if use_pallas and jax.default_backend() != "tpu" and not pallas_interpret:
+        use_pallas = False
+    plan = None
+    if use_pallas == "fused" and draw_method == "gumbel" and block_size >= 128:
+        plan = _fused_shard_plan(shards, block_size)
+
+    if plan is not None:
+        from ldagibbssampling_tpu.ops.gibbs import fused_gibbs_sweep
+
+        d_local, d0, d_loc, row_tile = plan
+        tdl = jnp.asarray(d_local)
+        jd0 = jnp.asarray(d0)
+        noise_mode = "external" if pallas_interpret else "internal"
+    else:
+        tdl = jd0 = None
+
+    def local_sweeps(tw, td, tm, dl, tdl, jd0, z, ndk, nwk, nk, key, sweep):
         # inside shard_map every sharded arg has leading dim P/p == 1
         tw, td, tm, dl = tw[0], td[0], tm[0], dl[0]
         shard_key = jax.random.fold_in(key, lax.axis_index(axis))
@@ -68,11 +137,19 @@ def make_sharded_sweep_fn(
             z, ndk, nwk, nk, sweep = carry
             state = SamplerState(z=z, ndk=ndk, nwk=nwk, nk=nk,
                                  key=shard_key, sweep=sweep)
-            new = gibbs_sweep(
-                state, tw, td, tm, dl,
-                alpha=alpha, beta=beta, block_size=block_size,
-                draw_method=draw_method, sorted_words=sorted_words,
-            )
+            if plan is not None:
+                new = fused_gibbs_sweep(
+                    state, tw, tdl[0], tm, jd0[0],
+                    alpha=alpha, beta=beta, block_size=block_size,
+                    d_loc=d_loc, row_tile=row_tile, sorted_words=sorted_words,
+                    noise_mode=noise_mode, pallas_interpret=pallas_interpret,
+                )
+            else:
+                new = gibbs_sweep(
+                    state, tw, td, tm, dl,
+                    alpha=alpha, beta=beta, block_size=block_size,
+                    draw_method=draw_method, sorted_words=sorted_words,
+                )
             # AD-LDA reconciliation: one psum of the word-topic deltas
             dnwk = lax.psum(new.nwk - nwk, axis)
             dnk = lax.psum(new.nk - nk, axis)
@@ -88,15 +165,20 @@ def make_sharded_sweep_fn(
     fn = shard_map(
         local_sweeps,
         mesh=mesh,
-        in_specs=(sharded, sharded, sharded, sharded,   # tw td tm dl
-                  sharded, sharded, repl, repl, repl, repl),  # z ndk nwk nk key sweep
+        in_specs=(sharded, sharded, sharded, sharded, sharded, sharded,
+                  sharded, sharded, repl, repl, repl, repl),
         out_specs=(sharded, sharded, repl, repl, repl),
         check_vma=False,
     )
 
+    if plan is None:
+        # dummy per-shard placeholders keep one shard_map signature
+        tdl = jnp.zeros_like(tm)
+        jd0 = jnp.zeros((shards.num_shards, 1), jnp.int32)
+
     @jax.jit
     def run(z, ndk, nwk, nk, key, sweep):
-        return fn(tw, td, tm, dl, z, ndk, nwk, nk, key, sweep)
+        return fn(tw, td, tm, dl, tdl, jd0, z, ndk, nwk, nk, key, sweep)
 
     return run
 
@@ -163,6 +245,7 @@ class ShardedLda:
             alpha=config.alpha, beta=config.beta, block_size=block,
             draw_method=config.draw_method, num_sweeps=1, axis=axis,
             sorted_words=self._sorted,
+            use_pallas=getattr(config, "use_pallas", False),
         )
 
     # ------------------------------------------------------------------

@@ -92,3 +92,53 @@ def test_graft_entry_hooks():
     out = jax.jit(fn)(*args)
     assert int(out.sweep) == 1
     g.dryrun_multichip(8)
+
+
+def test_fused_sharded_sweep_counts_consistent():
+    """AD-LDA with the fused Pallas kernel per shard (interpret mode on CPU):
+    sharded counts must equal a serial recount, and the nwk replica must stay
+    consistent after psum reconciliation."""
+    from ldagibbssampling_tpu.parallel.adlda import make_sharded_sweep_fn
+    from jax.sharding import Mesh
+
+    fc = _corpus(num_docs=48, vocab=64, seed=4)
+    n_dev = 4
+    block = 128
+    shards = shard_corpus(fc, n_dev, block_size=block)
+    from ldagibbssampling_tpu.parallel.sharding import sort_blocks_inplace
+    sort_blocks_inplace(shards.token_word, shards.token_doc,
+                        shards.token_mask, block_size=block)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+
+    import jax.numpy as jnp
+    k = 5
+    rng = np.random.default_rng(0)
+    z = rng.integers(0, k, shards.token_word.shape).astype(np.int32)
+    mask = shards.token_mask.astype(bool)
+    ndk = np.zeros((n_dev, shards.docs_per_shard, k), np.int32)
+    nwk = np.zeros((fc.vocab_size, k), np.int32)
+    for s in range(n_dev):
+        np.add.at(ndk[s], (shards.token_doc[s][mask[s]], z[s][mask[s]]), 1)
+        np.add.at(nwk, (shards.token_word[s][mask[s]], z[s][mask[s]]), 1)
+    nk = nwk.sum(0).astype(np.int32)
+
+    run = make_sharded_sweep_fn(
+        shards, mesh, alpha=0.5, beta=0.1, block_size=block,
+        num_sweeps=2, sorted_words=True,
+        use_pallas="fused", pallas_interpret=True,
+    )
+    zj, ndkj, nwkj, nkj, sweep = run(
+        jnp.asarray(z), jnp.asarray(ndk), jnp.asarray(nwk), jnp.asarray(nk),
+        jax.random.PRNGKey(7), jnp.int32(0),
+    )
+    z2 = np.asarray(zj)
+    ndk2 = np.zeros_like(ndk)
+    nwk2 = np.zeros_like(nwk)
+    for s in range(n_dev):
+        np.add.at(ndk2[s], (shards.token_doc[s][mask[s]], z2[s][mask[s]]), 1)
+        np.add.at(nwk2, (shards.token_word[s][mask[s]], z2[s][mask[s]]), 1)
+    np.testing.assert_array_equal(np.asarray(ndkj), ndk2)
+    np.testing.assert_array_equal(np.asarray(nwkj), nwk2)
+    np.testing.assert_array_equal(np.asarray(nkj), nwk2.sum(0))
+    assert int(sweep) == 2
+    assert (z2[mask] != z[mask]).any()
