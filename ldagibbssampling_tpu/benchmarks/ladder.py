@@ -106,7 +106,7 @@ def rung3(scale: float, sweeps: int = 10) -> dict:
     v = max(500, int(100_000 * min(1.0, scale * 5)))
     corpus = zipf_corpus(m, v, mean_doc_len=300, seed=2)
     n_dev = len(jax.devices())
-    cfg = LdaConfig(topic_num=100, seed=0, block_size=8_192)
+    cfg = LdaConfig(topic_num=100, seed=0, block_size=65_536)
     model = ShardedLda(cfg, corpus, num_shards=n_dev)
     model.sweep(1)
     _block(model)

@@ -19,17 +19,17 @@ import sys
 import time
 from pathlib import Path
 
+from ldagibbssampling_tpu import conf
 from ldagibbssampling_tpu.config import LdaConfig
-from ldagibbssampling_tpu.corpus.flat import FlatCorpus
 
 
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="lda-tpu", description="TPU-native collapsed-Gibbs LDA trainer"
     )
-    # reference PathConfig defaults
-    ap.add_argument("--docs", default="data/LdaOriginalDocs/", help="corpus directory")
-    ap.add_argument("--results", default="data/LdaResults/", help="artifact output directory")
+    # reference PathConfig defaults (conf.py)
+    ap.add_argument("--docs", default=conf.LDA_DOCS_PATH, help="corpus directory")
+    ap.add_argument("--results", default=conf.LDA_RESULTS_PATH, help="artifact output directory")
     ap.add_argument("--params", default=None, help="reference-format tab-separated parameter file")
     ap.add_argument("--config-json", default=None, help="engine-native JSON config file")
     # the six reference knobs as overrides

@@ -107,10 +107,15 @@ def make_sharded_sweep_fn(
     kernel as single-chip, with the psum reconciliation unchanged.  Falls back
     to the XLA sweep off-TPU or when no Mosaic-legal layout exists.
     """
-    tw = jnp.asarray(shards.token_word)
-    td = jnp.asarray(shards.token_doc)
-    tm = jnp.asarray(shards.token_mask)
-    dl = jnp.asarray(shards.doc_lengths)
+    # Token arrays are passed as device-committed ARGUMENTS, not closures:
+    # under shard_map, closure-captured arrays lower to HLO constants that
+    # (on remote-execution platforms) are re-shipped on every call — measured
+    # 6.5x slower on the NYT-shaped rung.
+    shard_sh = NamedSharding(mesh, P(axis))
+    tw = jax.device_put(jnp.asarray(shards.token_word), shard_sh)
+    td = jax.device_put(jnp.asarray(shards.token_doc), shard_sh)
+    tm = jax.device_put(jnp.asarray(shards.token_mask), shard_sh)
+    dl = jax.device_put(jnp.asarray(shards.doc_lengths), shard_sh)
 
     if use_pallas and jax.default_backend() != "tpu" and not pallas_interpret:
         use_pallas = False
@@ -122,13 +127,14 @@ def make_sharded_sweep_fn(
         from ldagibbssampling_tpu.ops.gibbs import fused_gibbs_sweep
 
         d_local, d0, d_loc, row_tile = plan
-        tdl = jnp.asarray(d_local)
-        jd0 = jnp.asarray(d0)
+        tdl = jax.device_put(jnp.asarray(d_local), shard_sh)
+        jd0 = jax.device_put(jnp.asarray(d0), shard_sh)
         noise_mode = "external" if pallas_interpret else "internal"
     else:
         tdl = jd0 = None
 
-    def local_sweeps(tw, td, tm, dl, tdl, jd0, z, ndk, nwk, nk, key, sweep):
+    def local_sweeps(tw, td, tm, dl, tdl, jd0, z, ndk, nwk, nk, key, sweep,
+                     n_sweeps):
         # inside shard_map every sharded arg has leading dim P/p == 1
         tw, td, tm, dl = tw[0], td[0], tm[0], dl[0]
         shard_key = jax.random.fold_in(key, lax.axis_index(axis))
@@ -155,8 +161,11 @@ def make_sharded_sweep_fn(
             dnk = lax.psum(new.nk - nk, axis)
             return new.z, new.ndk, nwk + dnwk, nk + dnk, new.sweep
 
+        # n_sweeps is a TRACED bound: one dispatch runs the whole batch.
+        # (Per-call dispatch of a shard_map executable costs ~300 ms on the
+        # remote-TPU platform; batching restores single-chip throughput.)
         z, ndk, nwk, nk, sweep = lax.fori_loop(
-            0, num_sweeps, one_sweep, (z[0], ndk[0], nwk, nk, sweep)
+            0, n_sweeps, one_sweep, (z[0], ndk[0], nwk, nk, sweep)
         )
         return z[None], ndk[None], nwk, nk, sweep
 
@@ -166,19 +175,22 @@ def make_sharded_sweep_fn(
         local_sweeps,
         mesh=mesh,
         in_specs=(sharded, sharded, sharded, sharded, sharded, sharded,
-                  sharded, sharded, repl, repl, repl, repl),
+                  sharded, sharded, repl, repl, repl, repl, repl),
         out_specs=(sharded, sharded, repl, repl, repl),
         check_vma=False,
     )
 
     if plan is None:
         # dummy per-shard placeholders keep one shard_map signature
-        tdl = jnp.zeros_like(tm)
-        jd0 = jnp.zeros((shards.num_shards, 1), jnp.int32)
+        tdl = jax.device_put(jnp.zeros_like(tm), shard_sh)
+        jd0 = jax.device_put(
+            jnp.zeros((shards.num_shards, 1), jnp.int32), shard_sh)
 
-    @jax.jit
-    def run(z, ndk, nwk, nk, key, sweep):
-        return fn(tw, td, tm, dl, tdl, jd0, z, ndk, nwk, nk, key, sweep)
+    run_impl = jax.jit(fn)
+
+    def run(z, ndk, nwk, nk, key, sweep, n_sweeps=None):
+        n = jnp.int32(num_sweeps if n_sweeps is None else n_sweeps)
+        return run_impl(tw, td, tm, dl, tdl, jd0, z, ndk, nwk, nk, key, sweep, n)
 
     return run
 
@@ -250,10 +262,11 @@ class ShardedLda:
 
     # ------------------------------------------------------------------
     def sweep(self, n: int = 1) -> None:
-        for _ in range(n):
-            self.z, self.ndk, self.nwk, self.nk, self.sweep_idx = self._sweep_fn(
-                self.z, self.ndk, self.nwk, self.nk, self._key, self.sweep_idx
-            )
+        # one dispatch for the whole batch (traced fori bound)
+        self.z, self.ndk, self.nwk, self.nk, self.sweep_idx = self._sweep_fn(
+            self.z, self.ndk, self.nwk, self.nk, self._key, self.sweep_idx,
+            n_sweeps=n,
+        )
 
     # ------------------------------------------------------------------
     def phi(self) -> np.ndarray:

@@ -158,6 +158,50 @@ def shard_corpus_grid(
     )
 
 
+def _fused_grid_plan(shards: GridShards, block_size: int):
+    """Per-cell doc-slab layout for the fused kernel (uniform d_loc/row_tile).
+
+    Returns ``(d_local [Pd, Pv, T_c], d0 [Pd, Pv, nb], d_loc, row_tile)`` or
+    ``None`` when the fused path is not applicable.
+    """
+    from ldagibbssampling_tpu.corpus.flat import PaddedCorpus
+    from ldagibbssampling_tpu.ops.gibbs import _pick_row_tile
+
+    if shards.num_real_tokens >= (1 << 24):
+        return None
+    row_tile = _pick_row_tile(block_size)
+    if row_tile == 0:
+        if block_size > 2048:
+            return None
+        row_tile = block_size
+
+    def cell(i, j, mult):
+        pcs = PaddedCorpus(
+            token_word=shards.token_word[i, j], token_doc=shards.token_doc[i, j],
+            token_mask=shards.token_mask[i, j],
+            num_real_tokens=int(shards.token_mask[i, j].sum()),
+            vocab_size=shards.vocab_size, num_docs=shards.docs_per_shard,
+        )
+        return pcs.doc_slabs(block_size, d_loc_multiple=mult)
+
+    spans = [
+        cell(i, j, 128)[2]
+        for i in range(shards.p_data) for j in range(shards.p_vocab)
+    ]
+    d_loc = max(spans)
+    d_local = np.zeros(shards.token_doc.shape, np.int32)
+    d0 = None
+    for i in range(shards.p_data):
+        row = []
+        for j in range(shards.p_vocab):
+            dl_c, d0_c, _ = cell(i, j, d_loc)
+            d_local[i, j] = dl_c
+            row.append(d0_c)
+        row = np.stack(row)
+        d0 = row[None] if d0 is None else np.concatenate([d0, row[None]])
+    return d_local, d0, d_loc, row_tile
+
+
 def make_grid_sweep_fn(
     shards: GridShards,
     mesh: Mesh,
@@ -168,6 +212,8 @@ def make_grid_sweep_fn(
     draw_method: str = "gumbel",
     num_sweeps: int = 1,
     sorted_words: bool = False,
+    use_pallas: bool | str = False,
+    pallas_interpret: bool = False,
 ):
     """Jitted grid sweep ``(z, ndk, nwk, nk, key, sweep) -> same``.
 
@@ -178,13 +224,35 @@ def make_grid_sweep_fn(
     ``gibbs_sweep`` derives V from the table, hence slabs are padded and the
     β-term corrected via the ``vbeta_override`` contract below.
     """
-    tw = jnp.asarray(shards.token_word)
-    td = jnp.asarray(shards.token_doc)
-    tm = jnp.asarray(shards.token_mask)
-    dl = jnp.asarray(shards.doc_lengths)
+    # device-committed ARGUMENTS, not closures (closure constants are
+    # re-shipped per call under shard_map on remote platforms; see adlda.py)
+    grid_sh = NamedSharding(mesh, P("data", "vocab"))
+    data_sh = NamedSharding(mesh, P("data"))
+    tw = jax.device_put(jnp.asarray(shards.token_word), grid_sh)
+    td = jax.device_put(jnp.asarray(shards.token_doc), grid_sh)
+    tm = jax.device_put(jnp.asarray(shards.token_mask), grid_sh)
+    dl = jax.device_put(jnp.asarray(shards.doc_lengths), data_sh)
     v_global = shards.vocab_size
 
-    def local_sweeps(tw, td, tm, dl, z, ndk, nwk, nk, key, sweep):
+    if use_pallas and jax.default_backend() != "tpu" and not pallas_interpret:
+        use_pallas = False
+    plan = None
+    if use_pallas == "fused" and draw_method == "gumbel" and block_size >= 128:
+        plan = _fused_grid_plan(shards, block_size)
+    if plan is not None:
+        from ldagibbssampling_tpu.ops.gibbs import fused_gibbs_sweep
+
+        d_local, d0, d_loc, row_tile = plan
+        tdl = jax.device_put(jnp.asarray(d_local), grid_sh)
+        jd0 = jax.device_put(jnp.asarray(d0), grid_sh)
+        noise_mode = "external" if pallas_interpret else "internal"
+    else:
+        tdl = jax.device_put(jnp.zeros_like(tm), grid_sh)
+        jd0 = jax.device_put(
+            jnp.zeros((shards.p_data, shards.p_vocab, 1), jnp.int32), grid_sh)
+
+    def local_sweeps(tw, td, tm, dl, tdl, jd0, z, ndk, nwk, nk, key, sweep,
+                     n_sweeps):
         tw, td, tm = tw[0, 0], td[0, 0], tm[0, 0]
         dl = dl[0]
         i = lax.axis_index("data")
@@ -197,19 +265,29 @@ def make_grid_sweep_fn(
             z, ndk, nwk, nk, sweep = carry
             state = SamplerState(z=z, ndk=ndk, nwk=nwk, nk=nk,
                                  key=cell_key, sweep=sweep)
-            new = gibbs_sweep(
-                state, tw, td, tm, dl,
-                alpha=alpha, beta=beta, block_size=block_size,
-                draw_method=draw_method, vocab_size=v_global,
-                sorted_words=sorted_words,
-            )
+            if plan is not None:
+                new = fused_gibbs_sweep(
+                    state, tw, tdl[0, 0], tm, jd0[0, 0],
+                    alpha=alpha, beta=beta, block_size=block_size,
+                    d_loc=d_loc, row_tile=row_tile, sorted_words=sorted_words,
+                    noise_mode=noise_mode, pallas_interpret=pallas_interpret,
+                    vocab_size=v_global,
+                )
+            else:
+                new = gibbs_sweep(
+                    state, tw, td, tm, dl,
+                    alpha=alpha, beta=beta, block_size=block_size,
+                    draw_method=draw_method, vocab_size=v_global,
+                    sorted_words=sorted_words,
+                )
             dnwk = lax.psum(new.nwk - nwk, "data")
             dndk = lax.psum(new.ndk - ndk, "vocab")
             dnk = lax.psum(new.nk - nk, ("data", "vocab"))
             return new.z, ndk + dndk, nwk + dnwk, nk + dnk, new.sweep
 
+        # traced bound: one dispatch per batch of sweeps (see adlda.py)
         z, ndk, nwk, nk, sweep = lax.fori_loop(
-            0, num_sweeps, one_sweep, (z[0, 0], ndk[0], nwk[0], nk, sweep)
+            0, n_sweeps, one_sweep, (z[0, 0], ndk[0], nwk[0], nk, sweep)
         )
         return z[None, None], ndk[None], nwk[None], nk, sweep
 
@@ -219,15 +297,19 @@ def make_grid_sweep_fn(
         in_specs=(
             P("data", "vocab"), P("data", "vocab"), P("data", "vocab"),  # tw td tm
             P("data"),                                                    # dl
+            P("data", "vocab"), P("data", "vocab"),                       # tdl jd0
             P("data", "vocab"), P("data"), P("vocab"), P(), P(), P(),     # z ndk nwk nk key sweep
+            P(),                                                          # n_sweeps
         ),
         out_specs=(P("data", "vocab"), P("data"), P("vocab"), P(), P()),
         check_vma=False,
     )
 
-    @jax.jit
-    def run(z, ndk, nwk, nk, key, sweep):
-        return fn(tw, td, tm, dl, z, ndk, nwk, nk, key, sweep)
+    run_impl = jax.jit(fn)
+
+    def run(z, ndk, nwk, nk, key, sweep, n_sweeps=None):
+        n = jnp.int32(num_sweeps if n_sweeps is None else n_sweeps)
+        return run_impl(tw, td, tm, dl, tdl, jd0, z, ndk, nwk, nk, key, sweep, n)
 
     return run
 
@@ -303,14 +385,16 @@ class GridLda:
             alpha=config.alpha, beta=config.beta, block_size=block,
             draw_method=config.draw_method, num_sweeps=1,
             sorted_words=self._sorted,
+            use_pallas=getattr(config, "use_pallas", False),
         )
 
     # ------------------------------------------------------------------
     def sweep(self, n: int = 1) -> None:
-        for _ in range(n):
-            self.z, self.ndk, self.nwk, self.nk, self.sweep_idx = self._sweep_fn(
-                self.z, self.ndk, self.nwk, self.nk, self._key, self.sweep_idx
-            )
+        # one dispatch for the whole batch (traced fori bound)
+        self.z, self.ndk, self.nwk, self.nk, self.sweep_idx = self._sweep_fn(
+            self.z, self.ndk, self.nwk, self.nk, self._key, self.sweep_idx,
+            n_sweeps=n,
+        )
 
     # ------------------------------------------------------------------
     def global_nwk(self) -> np.ndarray:

@@ -113,50 +113,66 @@ class TokenShardedLda:
         self.nk = jax.device_put(jnp.asarray(nk), repl)
         self.sweep_idx = jnp.int32(0)
 
-        dl = jnp.asarray(self.doc_lengths)
-        twj, tdj, tmj = jnp.asarray(tw), jnp.asarray(td), jnp.asarray(tm)
+        shard_sh = NamedSharding(mesh, P(axis))
+        repl_sh = NamedSharding(mesh, P())
+        dl = jax.device_put(jnp.asarray(self.doc_lengths), repl_sh)
+        twj = jax.device_put(jnp.asarray(tw), shard_sh)
+        tdj = jax.device_put(jnp.asarray(td), shard_sh)
+        tmj = jax.device_put(jnp.asarray(tm), shard_sh)
         alpha, beta = config.alpha, config.beta
         draw = config.draw_method
         bsz = block
         sorted_flag = self._sorted
 
-        def local_sweep(tw, td, tm, z, ndk, nwk, nk, key, sweep):
+        def local_sweep(tw, td, dlr, tm, z, ndk, nwk, nk, key, sweep, n_sweeps):
             tw, td, tm = tw[0], td[0], tm[0]
             shard_key = jax.random.fold_in(key, lax.axis_index(axis))
-            state = SamplerState(z=z[0], ndk=ndk, nwk=nwk, nk=nk,
-                                 key=shard_key, sweep=sweep)
-            new = gibbs_sweep(
-                state, tw, td, tm, dl,
-                alpha=alpha, beta=beta, block_size=bsz, draw_method=draw,
-                sorted_words=sorted_flag,
+
+            def one(_, carry):
+                z, ndk, nwk, nk, sweep = carry
+                state = SamplerState(z=z, ndk=ndk, nwk=nwk, nk=nk,
+                                     key=shard_key, sweep=sweep)
+                new = gibbs_sweep(
+                    state, tw, td, tm, dlr,
+                    alpha=alpha, beta=beta, block_size=bsz, draw_method=draw,
+                    sorted_words=sorted_flag,
+                )
+                # both tables are replicas here: psum deltas for each
+                dndk = lax.psum(new.ndk - ndk, axis)
+                dnwk = lax.psum(new.nwk - nwk, axis)
+                dnk = lax.psum(new.nk - nk, axis)
+                return new.z, ndk + dndk, nwk + dnwk, nk + dnk, new.sweep
+
+            # traced bound: one dispatch per batch of sweeps (see adlda.py)
+            z, ndk, nwk, nk, sweep = lax.fori_loop(
+                0, n_sweeps, one, (z[0], ndk, nwk, nk, sweep)
             )
-            # both tables are replicas here: psum deltas for each
-            dndk = lax.psum(new.ndk - ndk, axis)
-            dnwk = lax.psum(new.nwk - nwk, axis)
-            dnk = lax.psum(new.nk - nk, axis)
-            return new.z[None], ndk + dndk, nwk + dnwk, nk + dnk, new.sweep
+            return z[None], ndk, nwk, nk, sweep
 
         fn = shard_map(
             local_sweep,
             mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis),
-                      P(axis), P(), P(), P(), P(), P()),
+            in_specs=(P(axis), P(axis), P(), P(axis),
+                      P(axis), P(), P(), P(), P(), P(), P()),
             out_specs=(P(axis), P(), P(), P(), P()),
             check_vma=False,
         )
 
-        @jax.jit
-        def run(z, ndk, nwk, nk, key, sweep):
-            return fn(twj, tdj, tmj, z, ndk, nwk, nk, key, sweep)
+        run_impl = jax.jit(fn)
+
+        def run(z, ndk, nwk, nk, key, sweep, n_sweeps=1):
+            return run_impl(twj, tdj, dl, tmj, z, ndk, nwk, nk, key, sweep,
+                            jnp.int32(n_sweeps))
 
         self._sweep_fn = run
 
     # ------------------------------------------------------------------
     def sweep(self, n: int = 1) -> None:
-        for _ in range(n):
-            self.z, self.ndk, self.nwk, self.nk, self.sweep_idx = self._sweep_fn(
-                self.z, self.ndk, self.nwk, self.nk, self._key, self.sweep_idx
-            )
+        # one dispatch for the whole batch (traced fori bound)
+        self.z, self.ndk, self.nwk, self.nk, self.sweep_idx = self._sweep_fn(
+            self.z, self.ndk, self.nwk, self.nk, self._key, self.sweep_idx,
+            n_sweeps=n,
+        )
 
     # ------------------------------------------------------------------
     def phi(self) -> np.ndarray:

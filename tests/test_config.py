@@ -56,3 +56,14 @@ def test_invalid_enum_values_rejected():
         LdaConfig(sampler="bogus")
     with pytest.raises(ValueError):
         LdaConfig(draw_method="bogus")
+
+
+def test_conf_path_constants_match_reference_defaults():
+    """conf.py mirrors PathConfig/ConstantConfig (SURVEY.md §2.1 #6-#7)."""
+    from ldagibbssampling_tpu import conf
+    from ldagibbssampling_tpu.cli import build_parser
+
+    args = build_parser().parse_args([])
+    assert args.docs == conf.LDA_DOCS_PATH == "data/LdaOriginalDocs/"
+    assert args.results == conf.LDA_RESULTS_PATH == "data/LdaResults/"
+    assert conf.LDA_PARAMETER_FILE.endswith("LdaParameters.txt")

@@ -113,3 +113,51 @@ def test_grid_lda_assignments_move():
     mask = model.shards.token_mask.astype(bool)
     assert (z0[mask] != z1[mask]).any()
     assert int(model.sweep_idx) == 2
+
+
+def test_fused_grid_sweep_counts_consistent():
+    """Grid (doc x vocab) sweep through the fused kernel (interpret mode):
+    per-axis psum reconciliation must leave exact count tables."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from ldagibbssampling_tpu.parallel.grid import make_grid_sweep_fn
+
+    fc = _toy_corpus(num_docs=32, vocab=64, seed=6)
+    block = 128
+    shards = shard_corpus_grid(fc, 2, 2, block_size=block)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("data", "vocab"))
+
+    k = 5
+    rng = np.random.default_rng(1)
+    z = rng.integers(0, k, shards.token_word.shape).astype(np.int32)
+    mask = shards.token_mask.astype(bool)
+    ndk = np.zeros((2, shards.docs_per_shard, k), np.int32)
+    nwk = np.zeros((2, shards.vocab_per_shard, k), np.int32)
+    for i in range(2):
+        for j in range(2):
+            m = mask[i, j]
+            np.add.at(ndk[i], (shards.token_doc[i, j][m], z[i, j][m]), 1)
+            np.add.at(nwk[j], (shards.token_word[i, j][m], z[i, j][m]), 1)
+    nk = nwk.sum((0, 1)).astype(np.int32)
+
+    run = make_grid_sweep_fn(
+        shards, mesh, alpha=0.5, beta=0.1, block_size=block, num_sweeps=2,
+        use_pallas="fused", pallas_interpret=True,
+    )
+    zj, ndkj, nwkj, nkj, sweep = run(
+        jnp.asarray(z), jnp.asarray(ndk), jnp.asarray(nwk), jnp.asarray(nk),
+        jax.random.PRNGKey(3), jnp.int32(0),
+    )
+    z2 = np.asarray(zj)
+    ndk2 = np.zeros_like(ndk)
+    nwk2 = np.zeros_like(nwk)
+    for i in range(2):
+        for j in range(2):
+            m = mask[i, j]
+            np.add.at(ndk2[i], (shards.token_doc[i, j][m], z2[i, j][m]), 1)
+            np.add.at(nwk2[j], (shards.token_word[i, j][m], z2[i, j][m]), 1)
+    np.testing.assert_array_equal(np.asarray(ndkj), ndk2)
+    np.testing.assert_array_equal(np.asarray(nwkj), nwk2)
+    np.testing.assert_array_equal(np.asarray(nkj), nwk2.sum((0, 1)))
+    assert int(sweep) == 2
