@@ -75,7 +75,7 @@ def main() -> None:
     run = make_sweep_fn(
         tw, td, tm, dl, alpha=0.5, beta=0.1,
         block_size=BLOCK_SIZE, draw_method="gumbel", num_sweeps=1,
-        use_pallas=use_pallas, sorted_words=True,
+        use_pallas=use_pallas, sorted_words=True, num_topics=NUM_TOPICS,
     )
 
     # warmup / compile

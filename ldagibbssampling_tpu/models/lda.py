@@ -72,6 +72,7 @@ class LdaModel:
                 draw_method=config.draw_method, num_sweeps=1,
                 use_pallas=use_pallas,
                 sorted_words=self._perm is not None,
+                num_topics=config.topic_num,
             )
 
     # ------------------------------------------------------------------

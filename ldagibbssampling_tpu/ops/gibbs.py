@@ -231,16 +231,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _pick_row_tile(block_size: int, cap: int = 512) -> int:
-    """Largest multiple-of-8 divisor of ``block_size`` that is <= ``cap``.
+def _pick_row_tile(block_size: int, num_topics: int = 512) -> int:
+    """Largest multiple-of-8 divisor of ``block_size`` within the VMEM budget.
 
     Mosaic block shapes need sublane-dim % 8 == 0 (unless the block equals the
-    whole array — see the single-tile path in ``make_sweep_fn``).  512 rows x
-    512 padded topics keeps the fused kernel's working set inside the ~16 MB
-    VMEM scoped limit (1024 OOMs at K=500); power-of-two blocks get 512
-    exactly.  Returns 0 when no valid tile exists (awkward block sizes like
-    2·647 — callers fall back to single-tile or the XLA sweep).
+    whole array — see the single-tile path in ``make_sweep_fn``).  The cap
+    keeps ``row_tile x K_pad`` at 512x512 f32 tiles (measured: 1024x512 OOMs
+    the ~16 MB scoped VMEM at K=500), scaling down for larger K — e.g. K=1000
+    (K_pad 1024) gets 256-row tiles.  Returns 0 when no valid tile exists
+    (awkward block sizes like 2·647 — callers fall back to single-tile or the
+    XLA sweep).
     """
+    k_pad = max(128, _round_up(num_topics, 128))
+    cap = max(8, (512 * 512 // k_pad) // 8 * 8)
     t = min(cap, block_size)
     for cand in range(t - t % 8, 7, -8):
         if block_size % cand == 0:
@@ -396,6 +399,7 @@ def make_sweep_fn(
     use_pallas: bool = False,
     pallas_interpret: bool = False,
     sorted_words: bool = False,
+    num_topics: int = 512,
 ):
     """Build a jitted ``state -> state`` function running ``num_sweeps`` sweeps.
 
@@ -446,7 +450,7 @@ def make_sweep_fn(
                 "fused kernel tracks counts in float32, exact only below 2^24 "
                 "tokens; use the XLA sweep (use_pallas=False) at this scale"
             )
-        row_tile = _pick_row_tile(block_size)
+        row_tile = _pick_row_tile(block_size, num_topics)
         if row_tile == 0:
             if block_size <= 2048:
                 # single tile: block shape == array shape is exempt from the

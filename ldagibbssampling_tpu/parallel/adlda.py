@@ -36,7 +36,7 @@ except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 
-def _fused_shard_plan(shards: CorpusShards, block_size: int):
+def _fused_shard_plan(shards: CorpusShards, block_size: int, num_topics: int = 512):
     """Host-side doc-slab layout per shard for the fused kernel.
 
     Returns ``(d_local [P, T_s], d0 [P, nb], d_loc, row_tile)`` or ``None``
@@ -48,7 +48,7 @@ def _fused_shard_plan(shards: CorpusShards, block_size: int):
 
     if shards.num_real_tokens >= (1 << 24):
         return None
-    row_tile = _pick_row_tile(block_size)
+    row_tile = _pick_row_tile(block_size, num_topics)
     if row_tile == 0:
         if block_size > 2048:
             return None
@@ -95,6 +95,7 @@ def make_sharded_sweep_fn(
     sorted_words: bool = False,
     use_pallas: bool | str = False,
     pallas_interpret: bool = False,
+    num_topics: int = 512,
 ):
     """Build a jitted AD-LDA sweep: ``(z, ndk, nwk, nk, key, sweep) -> same``.
 
@@ -121,7 +122,7 @@ def make_sharded_sweep_fn(
         use_pallas = False
     plan = None
     if use_pallas == "fused" and draw_method == "gumbel" and block_size >= 128:
-        plan = _fused_shard_plan(shards, block_size)
+        plan = _fused_shard_plan(shards, block_size, num_topics)
 
     if plan is not None:
         from ldagibbssampling_tpu.ops.gibbs import fused_gibbs_sweep
@@ -258,6 +259,7 @@ class ShardedLda:
             draw_method=config.draw_method, num_sweeps=1, axis=axis,
             sorted_words=self._sorted,
             use_pallas=getattr(config, "use_pallas", False),
+            num_topics=config.topic_num,
         )
 
     # ------------------------------------------------------------------

@@ -158,7 +158,7 @@ def shard_corpus_grid(
     )
 
 
-def _fused_grid_plan(shards: GridShards, block_size: int):
+def _fused_grid_plan(shards: GridShards, block_size: int, num_topics: int = 512):
     """Per-cell doc-slab layout for the fused kernel (uniform d_loc/row_tile).
 
     Returns ``(d_local [Pd, Pv, T_c], d0 [Pd, Pv, nb], d_loc, row_tile)`` or
@@ -169,7 +169,7 @@ def _fused_grid_plan(shards: GridShards, block_size: int):
 
     if shards.num_real_tokens >= (1 << 24):
         return None
-    row_tile = _pick_row_tile(block_size)
+    row_tile = _pick_row_tile(block_size, num_topics)
     if row_tile == 0:
         if block_size > 2048:
             return None
@@ -214,6 +214,7 @@ def make_grid_sweep_fn(
     sorted_words: bool = False,
     use_pallas: bool | str = False,
     pallas_interpret: bool = False,
+    num_topics: int = 512,
 ):
     """Jitted grid sweep ``(z, ndk, nwk, nk, key, sweep) -> same``.
 
@@ -238,7 +239,7 @@ def make_grid_sweep_fn(
         use_pallas = False
     plan = None
     if use_pallas == "fused" and draw_method == "gumbel" and block_size >= 128:
-        plan = _fused_grid_plan(shards, block_size)
+        plan = _fused_grid_plan(shards, block_size, num_topics)
     if plan is not None:
         from ldagibbssampling_tpu.ops.gibbs import fused_gibbs_sweep
 
@@ -386,6 +387,7 @@ class GridLda:
             draw_method=config.draw_method, num_sweeps=1,
             sorted_words=self._sorted,
             use_pallas=getattr(config, "use_pallas", False),
+            num_topics=config.topic_num,
         )
 
     # ------------------------------------------------------------------
