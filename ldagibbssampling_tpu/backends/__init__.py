@@ -10,5 +10,9 @@ from ldagibbssampling_tpu.backends.base import InferenceBackend, make_backend
 from ldagibbssampling_tpu.backends.cvb0 import Cvb0Model
 from ldagibbssampling_tpu.backends.svi import SviModel
 from ldagibbssampling_tpu.backends.smc import SmcModel
+from ldagibbssampling_tpu.backends.warp import WarpModel
 
-__all__ = ["InferenceBackend", "make_backend", "Cvb0Model", "SviModel", "SmcModel"]
+__all__ = [
+    "InferenceBackend", "make_backend",
+    "Cvb0Model", "SviModel", "SmcModel", "WarpModel",
+]

@@ -48,4 +48,8 @@ def make_backend(config: "LdaConfig", corpus: "FlatCorpus") -> InferenceBackend:
         from ldagibbssampling_tpu.backends.smc import SmcModel
 
         return SmcModel(config, corpus)
+    if config.backend == "warp":
+        from ldagibbssampling_tpu.backends.warp import WarpModel
+
+        return WarpModel(config, corpus)
     raise ValueError(f"unknown backend {config.backend!r}")

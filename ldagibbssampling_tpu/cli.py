@@ -44,7 +44,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--chains", type=int, default=None,
                     help="independent Gibbs chains (>1: R-hat tracked, chain 0 exported)")
     ap.add_argument("--sampler", choices=["blocked", "serial"], default=None)
-    ap.add_argument("--backend", choices=["gibbs", "cvb0", "svi", "smc"], default=None)
+    ap.add_argument("--backend", choices=["gibbs", "cvb0", "svi", "smc", "warp"], default=None)
     ap.add_argument("--block-size", dest="block_size", type=int, default=None)
     ap.add_argument("--draw-method", dest="draw_method",
                     choices=["gumbel", "inverse_cdf"], default=None)

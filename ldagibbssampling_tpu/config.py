@@ -29,7 +29,7 @@ class LdaConfig:
     begin_save_iters: int = 50
 
     # --- engine knobs (new; absent in reference) ---
-    backend: str = "gibbs"  # gibbs | cvb0 | svi | smc
+    backend: str = "gibbs"  # gibbs | cvb0 | svi | smc | warp (O(1)/token MH)
     seed: int = 0
     chains: int = 1
     block_size: int = 2048  # tokens per blocked-Gibbs block; 1 => exact serial chain
@@ -49,7 +49,7 @@ class LdaConfig:
     top_words: int = 20  # .twords top-N (topNum=20 in saveIteratedModel)
 
     def __post_init__(self) -> None:
-        if self.backend not in ("gibbs", "cvb0", "svi", "smc"):
+        if self.backend not in ("gibbs", "cvb0", "svi", "smc", "warp"):
             raise ValueError(f"unknown backend {self.backend!r}")
         if self.sampler not in ("blocked", "serial"):
             raise ValueError(f"unknown sampler {self.sampler!r}")
