@@ -27,7 +27,7 @@ from ldagibbssampling_tpu.config import LdaConfig
 from ldagibbssampling_tpu.corpus.flat import FlatCorpus
 
 
-@functools.partial(jax.jit, static_argnames=("alpha", "beta", "block_size"))
+@functools.partial(jax.jit, static_argnames=("alpha", "beta", "block_size", "sorted_words"))
 def cvb0_sweep(
     gamma: jax.Array,       # [T_pad, K] responsibilities (padding rows all-zero)
     ndk: jax.Array,         # [M, K] expected counts (float32)
@@ -40,6 +40,7 @@ def cvb0_sweep(
     alpha: float,
     beta: float,
     block_size: int,
+    sorted_words: bool = False,
 ):
     t_pad, k = gamma.shape
     v = nwk.shape[0]
@@ -62,8 +63,11 @@ def cvb0_sweep(
         g_new = g_new * msk[:, None]  # padding rows stay zero
 
         delta = g_new - g_old
-        ndk = ndk.at[d].add(delta)
-        nwk = nwk.at[w].add(delta)
+        # exactly one axis is sorted within a block: word ids when the caller
+        # pre-sorted blocks (sorted-scatter fast path, as ops/gibbs), doc ids
+        # otherwise (doc-major stream)
+        ndk = ndk.at[d].add(delta, indices_are_sorted=not sorted_words)
+        nwk = nwk.at[w].add(delta, indices_are_sorted=sorted_words)
         nk = nk + delta.sum(axis=0)
         gamma = lax.dynamic_update_slice(gamma, g_new, (start, 0))
         return gamma, ndk, nwk, nk
@@ -81,6 +85,11 @@ class Cvb0Model:
         block = max(1, min(config.block_size, max(1, corpus.num_tokens)))
         self.block_size = block
         pc = corpus.pad_to(block)
+        self._sorted = bool(getattr(config, "sort_blocks", False)) and block > 1
+        if self._sorted:
+            pc, self._perm = pc.sort_within_blocks(block)
+        else:
+            self._perm = None
         self._padded = pc
         self.doc_lengths = corpus.doc_lengths()
 
@@ -113,6 +122,7 @@ class Cvb0Model:
                 self.gamma, self.ndk, self.nwk, self.nk,
                 self._tw, self._td, self._tm,
                 alpha=self.config.alpha, beta=self.config.beta,
+                sorted_words=self._sorted,
                 block_size=self.block_size,
             )
             self._sweeps += 1
@@ -136,9 +146,15 @@ class Cvb0Model:
         )
 
     def z(self) -> np.ndarray:
-        """Hard assignments (argmax responsibilities) for artifact export."""
-        g = np.asarray(self.gamma)[: self.corpus.num_tokens]
-        return g.argmax(axis=1).astype(np.int32)
+        """Hard assignments (argmax responsibilities) for artifact export,
+        in original corpus token order."""
+        g = np.asarray(self.gamma)
+        zs = g.argmax(axis=1).astype(np.int32)
+        if self._perm is not None:
+            z_orig = np.empty_like(zs)
+            z_orig[self._perm] = zs
+            zs = z_orig
+        return zs[: self.corpus.num_tokens]
 
     def check_invariants(self) -> None:
         ndk = np.asarray(self.ndk, np.float64)

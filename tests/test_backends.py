@@ -94,3 +94,28 @@ def test_smc_rejuvenation_improves():
     m.sweep(3)  # re-absorb passes
     ll2 = log_likelihood(m.phi(), m.theta(), fc)
     assert ll2 >= ll1 - 1.0  # rejuvenation must not collapse the posterior
+
+
+def test_cvb0_sorted_blocks_z_in_corpus_order():
+    """With sort_blocks on (default), z() must come back in corpus order.
+
+    Planted corpus: each doc uses one exclusive word; after convergence a
+    doc's tokens share a topic, so z() must be piecewise-constant on doc
+    boundaries — broken permutation unmapping would interleave topics."""
+    import numpy as np
+
+    from ldagibbssampling_tpu.backends.cvb0 import Cvb0Model
+    from ldagibbssampling_tpu.config import LdaConfig
+    from ldagibbssampling_tpu.corpus.flat import FlatCorpus
+
+    ragged = [[w] * 24 for w in range(6)]
+    fc = FlatCorpus.from_ragged(ragged, vocab_size=6)
+    m = Cvb0Model(LdaConfig(backend="cvb0", topic_num=6, block_size=32,
+                            seed=1, sort_blocks=True), fc)
+    assert m._perm is not None  # the sorted path is actually exercised
+    m.sweep(60)
+    z = m.z()
+    assert z.shape == (fc.num_tokens,)
+    for d in range(6):
+        seg = z[d * 24:(d + 1) * 24]
+        assert (seg == seg[0]).all(), f"doc {d} tokens not coherent: {seg}"
