@@ -9,9 +9,11 @@ structural analysis of the reference), re-designed TPU-first:
   sweep (``ops/``) with a fused Pallas kernel on TPU;
 - documents shard across chips AD-LDA style with the global word-topic count
   matrix reconciled by ``psum`` over the mesh (``parallel/``);
-- additional CVB0 / SVI / SMC backends (``backends/``), held-out perplexity and
-  R-hat diagnostics (``evaluation/``), orbax checkpointing and reference-format
-  artifact export (``lda_io/``).
+- additional CVB0 / SVI / SMC / WarpLDA-MH backends (``backends/``), held-out
+  perplexity and R-hat diagnostics (``evaluation/``), orbax checkpointing and
+  reference-format artifact export (``lda_io/``);
+- a native C++ corpus-ingest tier (``native/ldacorpus.cc`` via
+  ``corpus/native.py``; 15x the Python pipeline, automatic fallback).
 
 Public symbols are re-exported lazily so subpackages remain importable while the
 framework grows (and so importing the root does not pull in jax for pure-corpus
@@ -43,6 +45,9 @@ _EXPORTS = {
     "make_backend": "ldagibbssampling_tpu.backends.base",
     "InferenceBackend": "ldagibbssampling_tpu.backends.base",
     "run_inference": "ldagibbssampling_tpu.runner",
+    "WarpModel": "ldagibbssampling_tpu.backends.warp",
+    "read_docs_flat": "ldagibbssampling_tpu.corpus.native",
+    "write_minicorpus": "ldagibbssampling_tpu.data",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]

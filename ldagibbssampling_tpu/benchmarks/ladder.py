@@ -153,6 +153,7 @@ def rung5(scale: float, sweeps: int = 15) -> dict:
     """Backend shoot-out (PubMed-rung shape): Gibbs vs CVB0 vs SVI."""
     from ldagibbssampling_tpu.backends.cvb0 import Cvb0Model
     from ldagibbssampling_tpu.backends.svi import SviModel
+    from ldagibbssampling_tpu.backends.warp import WarpModel
     from ldagibbssampling_tpu.models.lda import LdaModel
 
     m = max(60, int(8_200_000 * scale / 100))
@@ -167,6 +168,7 @@ def rung5(scale: float, sweeps: int = 15) -> dict:
         ("gibbs", LdaModel(cfg, corpus)),
         ("cvb0", Cvb0Model(cfg, corpus)),
         ("svi", SviModel(cfg, corpus, batch_size=64)),
+        ("warp", WarpModel(cfg, corpus)),
     ]:
         t0 = time.perf_counter()
         model.sweep(sweeps)
