@@ -26,9 +26,52 @@ class InferenceBackend(Protocol):
     def sweeps_done(self) -> int: ...
 
 
+def _mesh_backend(config: "LdaConfig", corpus: "FlatCorpus") -> InferenceBackend:
+    """Map ``config.mesh`` (axis -> size; -1 = all devices) onto a runtime.
+
+    ``{"data": n}`` -> AD-LDA doc sharding; ``{"data": p, "vocab": q}`` ->
+    the 2D grid; ``{"token": n}`` -> token sharding (giant-doc mode).
+    """
+    import jax
+    import numpy as np
+
+    spec = dict(config.mesh)
+    n_dev = len(jax.devices())
+    for k, v in spec.items():
+        if v in (-1, 0):
+            others = int(np.prod([x for kk, x in spec.items()
+                                  if kk != k and x > 0]) or 1)
+            spec[k] = max(1, n_dev // others)
+    axes = frozenset(spec)
+    if axes == {"data"}:
+        from ldagibbssampling_tpu.parallel.adlda import ShardedLda
+
+        return ShardedLda(config, corpus, num_shards=spec["data"])
+    if axes == {"data", "vocab"}:
+        from jax.sharding import Mesh
+
+        from ldagibbssampling_tpu.parallel.grid import GridLda
+
+        pd, pv = spec["data"], spec["vocab"]
+        mesh = Mesh(np.array(jax.devices()[: pd * pv]).reshape(pd, pv),
+                    ("data", "vocab"))
+        return GridLda(config, corpus, mesh=mesh)
+    if axes == {"token"}:
+        from ldagibbssampling_tpu.parallel.tokenshard import TokenShardedLda
+
+        return TokenShardedLda(config, corpus, num_shards=spec["token"])
+    raise ValueError(
+        f"unsupported mesh axes {sorted(spec)}; expected {{data}}, "
+        "{data, vocab}, or {token}"
+    )
+
+
 def make_backend(config: "LdaConfig", corpus: "FlatCorpus") -> InferenceBackend:
-    """Construct the backend selected by ``config.backend``."""
+    """Construct the backend selected by ``config.backend`` (and, for the
+    blocked Gibbs sampler, the parallel runtime selected by ``config.mesh``)."""
     if config.backend == "gibbs":
+        if config.mesh and config.chains == 1 and config.sampler == "blocked":
+            return _mesh_backend(config, corpus)
         if config.chains > 1 and config.sampler == "blocked":
             from ldagibbssampling_tpu.models.chains import MultiChainModel
 

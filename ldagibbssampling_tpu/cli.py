@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--block-size", dest="block_size", type=int, default=None)
     ap.add_argument("--draw-method", dest="draw_method",
                     choices=["gumbel", "inverse_cdf"], default=None)
+    ap.add_argument("--mesh", default=None,
+                    help="parallel runtime mesh, e.g. 'data=4', 'data=2,vocab=2', "
+                         "'token=8' (-1 = all devices); gibbs backend only")
     ap.add_argument("--generate-minicorpus", action="store_true",
                     help="populate --docs with the deterministic stand-in corpus first")
     ap.add_argument("--no-save", action="store_true",
@@ -90,6 +93,11 @@ def config_from_args(args: argparse.Namespace) -> LdaConfig:
     overrides = {
         f: getattr(args, f) for f in _OVERRIDE_FIELDS if getattr(args, f) is not None
     }
+    if getattr(args, "mesh", None):
+        overrides["mesh"] = {
+            k.strip(): int(v)
+            for k, v in (kv.split("=") for kv in args.mesh.split(","))
+        }
     return cfg.replace(**overrides) if overrides else cfg
 
 

@@ -270,6 +270,10 @@ class ShardedLda:
             n_sweeps=n,
         )
 
+    @property
+    def sweeps_done(self) -> int:
+        return int(self.sweep_idx)
+
     # ------------------------------------------------------------------
     def phi(self) -> np.ndarray:
         nwk = np.asarray(self.nwk)

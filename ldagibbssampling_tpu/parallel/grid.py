@@ -398,6 +398,10 @@ class GridLda:
             n_sweeps=n,
         )
 
+    @property
+    def sweeps_done(self) -> int:
+        return int(self.sweep_idx)
+
     # ------------------------------------------------------------------
     def global_nwk(self) -> np.ndarray:
         """Reassemble the global ``[V, K]`` word-topic table from the slabs."""

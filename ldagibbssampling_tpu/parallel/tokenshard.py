@@ -174,6 +174,10 @@ class TokenShardedLda:
             n_sweeps=n,
         )
 
+    @property
+    def sweeps_done(self) -> int:
+        return int(self.sweep_idx)
+
     # ------------------------------------------------------------------
     def phi(self) -> np.ndarray:
         nwk = np.asarray(self.nwk, dtype=np.float64)

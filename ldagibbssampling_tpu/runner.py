@@ -74,31 +74,62 @@ def run_inference(
         config.validate_reference_guard()
     timer = SweepTimer(corpus.num_tokens)
     start = int(getattr(backend, "sweeps_done", 0))
-    for i in range(start, config.iteration):
+
+    def _boundary(i: int) -> bool:
+        """Does anything on the schedule need to run right after sweep i?"""
+        n = i + 1
+        if result_dir is not None and n >= config.begin_save_iters and (
+            (n - config.begin_save_iters) % config.save_step == 0
+        ):
+            return True
+        if optimize_hyper_every > 0 and n % optimize_hyper_every == 0:
+            return True
+        if checkpoint_dir is not None and checkpoint_every > 0 and (
+            n % checkpoint_every == 0
+        ):
+            return True
+        if metrics is not None:
+            return True  # per-sweep throughput requested
+        return False
+
+    i = start
+    while i < config.iteration:
         if (
             result_dir is not None
             and i >= config.begin_save_iters
             and (i - config.begin_save_iters) % config.save_step == 0
         ):
             save_backend_model(backend, i, result_dir, corpus, config)
+        # batch sweeps up to the next schedule boundary: ONE device dispatch
+        # (a shard_map executable launch costs ~300 ms on remote platforms;
+        # see parallel/adlda.py) — stdout iteration lines are preserved
+        chunk = 1
+        while i + chunk < config.iteration and not _boundary(i + chunk - 1):
+            nxt = i + chunk
+            if result_dir is not None and nxt >= config.begin_save_iters and (
+                (nxt - config.begin_save_iters) % config.save_step == 0
+            ):
+                break
+            chunk += 1
         with timer:
-            backend.sweep(1)
+            backend.sweep(chunk)
+        i_last = i + chunk - 1  # schedule checks fire for the chunk's last sweep
         if (
             optimize_hyper_every > 0
-            and (i + 1) % optimize_hyper_every == 0
+            and (i_last + 1) % optimize_hyper_every == 0
             and hasattr(backend, "optimize_hyperparameters")
         ):
             backend.optimize_hyperparameters()
         if (
             checkpoint_dir is not None
             and checkpoint_every > 0
-            and (i + 1) % checkpoint_every == 0
+            and (i_last + 1) % checkpoint_every == 0
             and hasattr(backend, "save_checkpoint")
         ):
             backend.save_checkpoint(checkpoint_dir)
         if metrics is not None:
-            scalars = {"tokens_per_s": timer.last_tokens_per_s}
-            if ll_every > 0 and (i + 1) % ll_every == 0:
+            scalars = {"tokens_per_s": timer.last_tokens_per_s}  # chunk == 1 here
+            if ll_every > 0 and (i_last + 1) % ll_every == 0:
                 from ldagibbssampling_tpu.evaluation.metrics import log_likelihood
 
                 ll = log_likelihood(backend.phi(), backend.theta(), corpus)
@@ -118,6 +149,8 @@ def run_inference(
                 rh = r_hat_fn()
                 if rh == rh:  # skip NaN (needs >= 4 recorded sweeps)
                     scalars["r_hat"] = rh
-            metrics.log(i, **scalars)
+            metrics.log(i_last, **scalars)
         if progress is not None:
-            progress(i)
+            for j in range(i, i_last + 1):  # keep per-iteration stdout parity
+                progress(j)
+        i = i_last + 1
