@@ -31,9 +31,10 @@ TIMED_SWEEPS = int(os.environ.get("LDA_BENCH_SWEEPS", 10))  # 3 is too noisy
 # Kernel tier (LDA_BENCH_PALLAS): "0" = pure-XLA sweep, "1" = v1 draw kernel
 # (measured slower: the pallas_call boundary re-materializes the gathered
 # [B,K] tiles), "fused" = v2 fused block kernel (doc-slab + topic totals +
-# PRNG in VMEM) — the default on TPU.
-_PALLAS_ENV = os.environ.get("LDA_BENCH_PALLAS", "fused")
-USE_PALLAS = {"0": False, "1": True, "fused": "fused"}[_PALLAS_ENV]
+# PRNG in VMEM), "deferred" = v3 deferred-nwk mode (fused kernel + per-sweep
+# MXU count rebuild, no per-block [V,K] scatter) — the default on TPU.
+_PALLAS_ENV = os.environ.get("LDA_BENCH_PALLAS", "deferred")
+USE_PALLAS = {"0": False, "1": True, "fused": "fused", "deferred": "deferred"}[_PALLAS_ENV]
 BASELINE_TOKENS_PER_S = 2e4  # BASELINE.md serial-Java estimate, upper end
 
 
@@ -59,23 +60,33 @@ def main() -> None:
     dev = jax.devices()[0]
     t = (NUM_TOKENS // BLOCK_SIZE) * BLOCK_SIZE
     tw, td, dl = synth_corpus(t, VOCAB, NUM_DOCS)
-    tm = np.ones(t, dtype=np.int32)
-    # within-block word sort: statistically free, enables the sorted-scatter
-    # fast path (+17% measured; see PaddedCorpus.sort_within_blocks)
-    for s in range(0, t, BLOCK_SIZE):
-        perm = np.argsort(tw[s : s + BLOCK_SIZE], kind="stable")
-        tw[s : s + BLOCK_SIZE] = tw[s : s + BLOCK_SIZE][perm]
-        td[s : s + BLOCK_SIZE] = td[s : s + BLOCK_SIZE][perm]
+    use_pallas = USE_PALLAS if dev.platform == "tpu" else False
+
+    if use_pallas == "deferred":
+        # v3 layout: stripe-aligned blocks + per-sweep MXU count rebuild
+        from ldagibbssampling_tpu.ops.count_kernel import plan_deferred
+
+        plan = plan_deferred(tw, td, VOCAB, BLOCK_SIZE)
+        tw, td, tm = plan.token_word, plan.token_doc, plan.token_mask
+    else:
+        plan = None
+        tm = np.ones(t, dtype=np.int32)
+        # within-block word sort: statistically free, enables the
+        # sorted-scatter fast path (PaddedCorpus.sort_within_blocks)
+        for s in range(0, t, BLOCK_SIZE):
+            perm = np.argsort(tw[s : s + BLOCK_SIZE], kind="stable")
+            tw[s : s + BLOCK_SIZE] = tw[s : s + BLOCK_SIZE][perm]
+            td[s : s + BLOCK_SIZE] = td[s : s + BLOCK_SIZE][perm]
 
     state = init_state(
         tw, td, tm, num_docs=NUM_DOCS, vocab_size=VOCAB,
         num_topics=NUM_TOPICS, seed=0,
     )
-    use_pallas = USE_PALLAS if dev.platform == "tpu" else False
     run = make_sweep_fn(
         tw, td, tm, dl, alpha=0.5, beta=0.1,
         block_size=BLOCK_SIZE, draw_method="gumbel", num_sweeps=1,
         use_pallas=use_pallas, sorted_words=True, num_topics=NUM_TOPICS,
+        deferred_plan=plan,
     )
 
     # warmup / compile

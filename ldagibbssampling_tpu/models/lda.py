@@ -49,12 +49,36 @@ class LdaModel:
         else:
             block = max(1, min(config.block_size, max(1, corpus.num_tokens)))
             self.block_size = block
-            pc = corpus.pad_to(block)
+            use_pallas = config.use_pallas
+            if config.draw_method != "gumbel" and use_pallas in ("fused", "deferred"):
+                use_pallas = False  # fidelity draws use the XLA inverse-CDF path
             self._perm = None
-            if config.sort_blocks and block > 1:
-                # statistically-free reorder: within-block word sort enables
-                # the sorted-scatter fast path (PaddedCorpus.sort_within_blocks)
-                pc, self._perm = pc.sort_within_blocks(block)
+            self._plan = None
+            if use_pallas == "deferred" and block >= 128:
+                # v3 layout: stripe-aligned blocks + per-sweep MXU rebuild
+                # (ops/count_kernel.plan_deferred); slot i holds real token
+                # plan.perm[i] (-1 = padding)
+                from ldagibbssampling_tpu.ops.count_kernel import plan_deferred
+
+                self._plan = plan_deferred(
+                    corpus.token_word, corpus.token_doc, corpus.vocab_size, block
+                )
+                from ldagibbssampling_tpu.corpus.flat import PaddedCorpus
+
+                pc = PaddedCorpus(
+                    token_word=self._plan.token_word,
+                    token_doc=self._plan.token_doc,
+                    token_mask=self._plan.token_mask,
+                    num_real_tokens=corpus.num_tokens,
+                    vocab_size=corpus.vocab_size,
+                    num_docs=corpus.num_docs,
+                )
+            else:
+                pc = corpus.pad_to(block)
+                if config.sort_blocks and block > 1:
+                    # statistically-free reorder: within-block word sort enables
+                    # the sorted-scatter fast path (PaddedCorpus.sort_within_blocks)
+                    pc, self._perm = pc.sort_within_blocks(block)
             self._padded = pc
             self.state = state_lib.init_state(
                 pc.token_word, pc.token_doc, pc.token_mask,
@@ -63,9 +87,6 @@ class LdaModel:
             )
             from ldagibbssampling_tpu.ops.gibbs import make_sweep_fn
 
-            use_pallas = config.use_pallas
-            if config.draw_method != "gumbel" and use_pallas == "fused":
-                use_pallas = False  # fidelity draws use the XLA inverse-CDF path
             self._run_sweeps = make_sweep_fn(
                 pc.token_word, pc.token_doc, pc.token_mask, self.doc_lengths,
                 alpha=config.alpha, beta=config.beta, block_size=block,
@@ -73,6 +94,7 @@ class LdaModel:
                 use_pallas=use_pallas,
                 sorted_words=self._perm is not None,
                 num_topics=config.topic_num,
+                deferred_plan=self._plan,
             )
 
     # ------------------------------------------------------------------
@@ -132,6 +154,12 @@ class LdaModel:
         if self._oracle is not None:
             return self._oracle.z.copy()
         z = np.asarray(self.state.z)
+        if self._plan is not None:
+            # deferred layout: slot i holds real token plan.perm[i] (-1 = pad)
+            valid = self._plan.perm >= 0
+            z_orig = np.empty(self.corpus.num_tokens, dtype=z.dtype)
+            z_orig[self._plan.perm[valid]] = z[valid]
+            return z_orig
         if self._perm is not None:
             # device z lives in block-sorted space; map back to corpus order
             z_orig = np.empty_like(z)

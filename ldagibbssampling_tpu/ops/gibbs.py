@@ -385,6 +385,117 @@ def _fused_sweep_impl(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "block_size", "d_loc", "row_tile", "noise_mode", "pallas_interpret",
+        "vocab_size", "v_loc", "v_pad", "tile",
+    ),
+)
+def _deferred_sweep_impl(
+    state: SamplerState,
+    token_word: jax.Array,
+    token_dloc: jax.Array,
+    token_mask: jax.Array,
+    d0_blocks: jax.Array,
+    row_gather_idx: jax.Array,
+    w_local: jax.Array,
+    tile_stripe: jax.Array,
+    alpha: jax.Array,
+    beta: jax.Array,
+    *,
+    block_size: int,
+    d_loc: int,
+    row_tile: int,
+    noise_mode: str,
+    pallas_interpret: bool,
+    vocab_size: Optional[int],
+    v_loc: int,
+    v_pad: int,
+    tile: int,
+) -> SamplerState:
+    """One sweep in deferred-``nwk`` mode (the TPU fast path since round 3).
+
+    Blocks sample against a sweep-stale bfloat16 snapshot of the word-topic
+    table (the AD-LDA staleness of Newman et al., already the accepted
+    semantics *across* shards — validated by the parity harness); the dense
+    per-block ``[B, K]`` delta and its row scatter are gone, and ``nwk`` is
+    rebuilt once per sweep by ``ops/count_kernel.build_nwk`` as MXU matmuls.
+    Measured v5e, T=1M, K=500: 37.9 ms/sweep (block mode) → the rebuild path
+    removes the ~22 ms row-count-bound gather+scatter pair.
+    """
+    from ldagibbssampling_tpu.ops.count_kernel import build_nwk
+    from ldagibbssampling_tpu.ops.pallas_gibbs import pallas_fused_block
+
+    t_pad = token_word.shape[0]
+    num_blocks = t_pad // block_size
+    m, k = state.ndk.shape
+    v = state.nwk.shape[0] if vocab_size is None else vocab_size
+    count_dtype = state.nwk.dtype
+    k_pad = _round_up(k, 128)
+    m_pad = max(m, d_loc)
+
+    ndk_p = jnp.pad(state.ndk, ((0, m_pad - m), (0, k_pad - k))).astype(jnp.float32)
+    nk_p = jnp.pad(state.nk, (0, k_pad - k)).astype(jnp.float32)[None, :]
+    # sweep-stale read snapshot; bf16 relative error (2^-8) is below the
+    # draw's approx-reciprocal noise and never touches the exact count state
+    mirror = jnp.pad(state.nwk, ((0, 0), (0, k_pad - k))).astype(jnp.bfloat16)
+
+    sweep_key = jax.random.fold_in(state.key, state.sweep)
+    seed = jax.random.randint(sweep_key, (), 0, 2**31 - 1 - num_blocks, jnp.int32)
+    vbeta = v * beta
+
+    if noise_mode == "external":
+        uniforms = jax.random.uniform(
+            sweep_key, (t_pad, k_pad), jnp.float32,
+            minval=1e-7, maxval=1.0 - 1e-7,
+        )
+    else:
+        uniforms = jnp.zeros((1, k_pad), jnp.float32)
+
+    def body(i, carry):
+        z, ndk, nk = carry
+        start = i * block_size
+        w = lax.dynamic_slice(token_word, (start,), (block_size,))
+        dloc = lax.dynamic_slice(token_dloc, (start,), (block_size,))
+        msk = lax.dynamic_slice(token_mask, (start,), (block_size,))
+        zold = lax.dynamic_slice(z, (start,), (block_size,))
+        noise = (
+            lax.dynamic_slice(uniforms, (start, 0), (block_size, k_pad))
+            if noise_mode == "external" else None
+        )
+        # block word order is non-decreasing by construction (DeferredPlan)
+        rows = mirror.at[w].get(indices_are_sorted=True, mode="promise_in_bounds")
+        slab = lax.dynamic_slice(ndk, (d0_blocks[i], 0), (d_loc, k_pad))
+        znew, slab_out, nk_out = pallas_fused_block(
+            rows, slab, nk, zold, dloc, msk, seed + i, noise,
+            alpha=alpha, beta=beta, vbeta=vbeta, k_real=k,
+            noise_mode=noise_mode, interpret=pallas_interpret,
+            row_tile=row_tile, emit_delta=False,
+        )
+        ndk = lax.dynamic_update_slice(ndk, slab_out, (d0_blocks[i], 0))
+        z = lax.dynamic_update_slice(z, znew.astype(zold.dtype), (start,))
+        return z, ndk, nk_out
+
+    z, ndk_p, _ = lax.fori_loop(0, num_blocks, body, (state.z, ndk_p, nk_p))
+    nwk_new = build_nwk(
+        z, row_gather_idx, w_local, tile_stripe,
+        v_loc=v_loc, v_pad=v_pad, k_pad=k_pad, tile=tile,
+        interpret=pallas_interpret,
+    )[: state.nwk.shape[0], :k]
+    # exact topic totals from the rebuilt table (the kernel's running f32 nk
+    # is a sampling normalizer only; integer-exact sums come from the rebuild)
+    nk_new = jnp.sum(nwk_new.astype(jnp.int32), axis=0)
+    return SamplerState(
+        z=z,
+        ndk=ndk_p[:m, :k].astype(count_dtype),
+        nwk=nwk_new.astype(count_dtype),
+        nk=nk_new.astype(count_dtype),
+        key=state.key,
+        sweep=state.sweep + 1,
+    )
+
+
 def make_sweep_fn(
     token_word: Any,
     token_doc: Any,
@@ -400,6 +511,7 @@ def make_sweep_fn(
     pallas_interpret: bool = False,
     sorted_words: bool = False,
     num_topics: int = 512,
+    deferred_plan=None,
 ):
     """Build a jitted ``state -> state`` function running ``num_sweeps`` sweeps.
 
@@ -410,7 +522,10 @@ def make_sweep_fn(
     ``use_pallas`` selects the kernel tier: ``False`` → pure-XLA sweep,
     ``True`` → v1 draw kernel, ``"fused"`` → v2 fused block kernel (doc-slab
     and topic totals updated in VMEM; requires ``draw_method='gumbel'`` and a
-    doc-major token stream).
+    doc-major token stream), ``"deferred"`` → v3: the fused kernel plus
+    deferred word-topic updates (sweep-stale snapshot reads, per-sweep MXU
+    rebuild — ``ops/count_kernel.py``); requires a ``deferred_plan`` from
+    ``plan_deferred`` whose arrays are the ``token_*`` passed here.
     """
     import numpy as np
 
@@ -424,10 +539,78 @@ def make_sweep_fn(
         # sweep (tests exercise the kernels explicitly via interpret mode)
         use_pallas = False
 
-    if use_pallas == "fused" and block_size < 128:
+    if use_pallas in ("fused", "deferred") and block_size < 128:
         # tiny blocks (fidelity modes) don't amortize a kernel launch and
         # break Mosaic's minimum tile shapes — use the XLA sweep
         use_pallas = False
+
+    if use_pallas == "deferred":
+        if draw_method != "gumbel":
+            raise ValueError("deferred mode requires draw_method='gumbel'")
+        if deferred_plan is None:
+            raise ValueError(
+                "use_pallas='deferred' needs a deferred_plan "
+                "(ops.count_kernel.plan_deferred) whose arrays are the token_* here"
+            )
+        from ldagibbssampling_tpu.corpus.flat import PaddedCorpus
+
+        plan = deferred_plan
+        td_host = np.asarray(token_doc, np.int32)
+        tm_host = np.asarray(token_mask, np.int32)
+        num_docs = int(td_host.max()) + 1 if td_host.size else 1
+        # f32-exactness guards, scoped to what actually overflows (per-cell
+        # counts), not round-2's total-token bound
+        if plan.max_word_freq >= (1 << 24):
+            raise ValueError(
+                "deferred rebuild accumulates word-topic cells in float32; "
+                f"max word frequency {plan.max_word_freq} >= 2^24 would round"
+            )
+        max_doc_len = int(np.bincount(td_host, weights=tm_host).max()) if td_host.size else 0
+        if max_doc_len >= (1 << 24):
+            raise ValueError(
+                "fused kernel tracks doc-topic cells in float32; "
+                f"max document length {max_doc_len} >= 2^24 would round "
+                "(shard giant documents via parallel/tokenshard.py)"
+            )
+        pc = PaddedCorpus(
+            token_word=np.asarray(token_word, np.int32),
+            token_doc=td_host, token_mask=tm_host,
+            num_real_tokens=int(tm_host.sum()),
+            vocab_size=0, num_docs=num_docs,
+        )
+        d_local, d0, d_loc = pc.doc_slabs(block_size, d_loc_multiple=128)
+        row_tile = _pick_row_tile(block_size, num_topics)
+        if row_tile == 0:
+            if block_size <= 2048:
+                row_tile = block_size
+            else:
+                return make_sweep_fn(
+                    token_word, token_doc, token_mask, doc_lengths,
+                    alpha=alpha, beta=beta, block_size=block_size,
+                    draw_method=draw_method, num_sweeps=num_sweeps,
+                    use_pallas=False, sorted_words=sorted_words,
+                )
+        tdl = jnp.asarray(d_local)
+        jd0 = jnp.asarray(d0)
+        jrg = jnp.asarray(plan.row_gather_idx)
+        jwl = jnp.asarray(plan.w_local)
+        jts = jnp.asarray(plan.tile_stripe)
+        noise_mode = "external" if pallas_interpret else "internal"
+
+        @jax.jit
+        def run_deferred(state: SamplerState, alpha=alpha, beta=beta) -> SamplerState:
+            def one(_, s):
+                return _deferred_sweep_impl(
+                    s, tw, tdl, tm, jd0, jrg, jwl, jts,
+                    jnp.asarray(alpha, jnp.float32), jnp.asarray(beta, jnp.float32),
+                    block_size=block_size, d_loc=d_loc, row_tile=row_tile,
+                    noise_mode=noise_mode, pallas_interpret=pallas_interpret,
+                    vocab_size=None, v_loc=plan.v_loc, v_pad=plan.v_pad,
+                    tile=plan.tile,
+                )
+            return lax.fori_loop(0, num_sweeps, one, state)
+
+        return run_deferred
 
     if use_pallas == "fused":
         if draw_method != "gumbel":

@@ -58,9 +58,15 @@ def _round_up(x: int, m: int) -> int:
 def _fused_kernel(
     seed_ref, hyper_ref, zold_ref, dloc_ref, msk_ref, nwk_ref,
     ndk_init_ref, nk_init_ref, noise_ref,
-    znew_ref, delta_ref, ndk_ref, nk_ref,
-    *, k_real: int, noise_mode: str,
+    *out_refs, k_real: int, noise_mode: str, emit_delta: bool = True,
 ):
+    if emit_delta:
+        znew_ref, delta_ref, ndk_ref, nk_ref = out_refs
+    else:
+        # deferred-nwk mode (ops/count_kernel.py): the word-topic table is
+        # rebuilt once per sweep, so no dense [B, K] delta leaves the kernel
+        znew_ref, ndk_ref, nk_ref = out_refs
+        delta_ref = None
     bt, k_pad = nwk_ref.shape
     d_loc = ndk_ref.shape[0]
     i = pl.program_id(0)
@@ -103,8 +109,12 @@ def _fused_kernel(
     # transcendental (log u) instead of the five of log-space Gumbel
     # (3 conditional logs + log(-log u)).  The kernel is compute-bound on
     # the VPU, so transcendental count is the sweep's critical path.
+    # rows may arrive bf16 (the deferred mode's snapshot gather — counts are
+    # read-only there and 0.4% relative error is below the draw's own
+    # approx-reciprocal noise); compute stays f32
+    nwk_rows = nwk_ref[:].astype(jnp.float32)
     p = (
-        (nwk_ref[:] - excl + beta)
+        (nwk_rows - excl + beta)
         * (ndk_rows - excl + alpha)
         * pl.reciprocal(nk_ref[:] - excl + vbeta, approx=True)
     )
@@ -128,7 +138,8 @@ def _fused_kernel(
     znew_ref[:] = znew
 
     delta = (cols == znew).astype(jnp.float32) * mskf - excl
-    delta_ref[:] = delta
+    if emit_delta:
+        delta_ref[:] = delta
     # in-VMEM count updates: later tiles of the block see fresh doc counts
     # (bf16 matmul is exact: one-hot 0/1 against ±1 deltas, f32 accumulate)
     ndk_ref[:] += jax.lax.dot_general(
@@ -140,10 +151,10 @@ def _fused_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_real", "noise_mode", "interpret", "row_tile"),
+    static_argnames=("k_real", "noise_mode", "interpret", "row_tile", "emit_delta"),
 )
 def pallas_fused_block(
-    nwk_rows: jax.Array,   # [B, Kp] f32 — gathered word-topic rows (Kp = K rounded to 128)
+    nwk_rows: jax.Array,   # [B, Kp] f32 (or bf16 in deferred mode) — gathered word-topic rows
     ndk_slab: jax.Array,   # [D_LOC, Kp] f32 — the block's doc-topic slab
     nk: jax.Array,         # [1, Kp] f32 — topic totals
     zold: jax.Array,       # [B] int32
@@ -159,12 +170,17 @@ def pallas_fused_block(
     noise_mode: str = "internal",
     interpret: bool = False,
     row_tile: int = 512,
+    emit_delta: bool = True,
 ):
     """Fused block step: draw + doc-slab/nk updates in VMEM.
 
     Returns ``(znew [B] int32, delta [B, Kp] f32, ndk_slab' [D_LOC, Kp] f32,
     nk' [1, Kp] f32)``.  The caller applies ``delta`` to the word-topic table
     (sorted-row scatter) and writes the slab back with a dynamic update slice.
+    With ``emit_delta=False`` (deferred-nwk mode) the delta never leaves VMEM
+    and the return is ``(znew, ndk_slab', nk')`` — the word-topic table is
+    rebuilt per sweep by ``ops/count_kernel.build_nwk`` instead, and
+    ``nwk_rows`` may be a bfloat16 snapshot gather.
     Shapes must be pre-padded: ``Kp % 128 == 0``, ``B % row_tile == 0``,
     ``D_LOC % 8 == 0``.
     """
@@ -196,9 +212,25 @@ def pallas_fused_block(
         noise_block = 8
 
     grid = (b // bt,)
-    znew, delta, ndk_out, nk_out = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bt, k_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d_loc, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, 1), jnp.int32),
+        jax.ShapeDtypeStruct((b, k_pad), jnp.float32),
+        jax.ShapeDtypeStruct((d_loc, k_pad), jnp.float32),
+        jax.ShapeDtypeStruct((1, k_pad), jnp.float32),
+    ]
+    if not emit_delta:
+        del out_specs[1], out_shape[1]
+    rows_in = nwk_rows if nwk_rows.dtype == jnp.bfloat16 else nwk_rows.astype(jnp.float32)
+    outs = pl.pallas_call(
         functools.partial(
             _fused_kernel, k_real=k_real, noise_mode=noise_mode,
+            emit_delta=emit_delta,
         ),
         grid=grid,
         in_specs=[
@@ -212,25 +244,19 @@ def pallas_fused_block(
             pl.BlockSpec((1, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((noise_block, k_pad), noise_index, memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, k_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d_loc, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, 1), jnp.int32),
-            jax.ShapeDtypeStruct((b, k_pad), jnp.float32),
-            jax.ShapeDtypeStruct((d_loc, k_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, k_pad), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(
         seed_arr, hyper_arr, zold[:, None], d_local[:, None], msk[:, None],
-        nwk_rows.astype(jnp.float32), ndk_slab.astype(jnp.float32),
+        rows_in, ndk_slab.astype(jnp.float32),
         nk.astype(jnp.float32), noise_in,
     )
-    return znew[:, 0], delta, ndk_out, nk_out
+    if emit_delta:
+        znew, delta, ndk_out, nk_out = outs
+        return znew[:, 0], delta, ndk_out, nk_out
+    znew, ndk_out, nk_out = outs
+    return znew[:, 0], ndk_out, nk_out
 
 
 def _sample_kernel(
