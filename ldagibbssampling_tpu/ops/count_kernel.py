@@ -209,7 +209,7 @@ def plan_deferred(
 
 
 def _count_kernel(stripe_ref, w_local_ref, z_ref, out_ref):
-    tile = w_local_ref.shape[0]
+    tile = w_local_ref.shape[1]
     v_loc, k_pad = out_ref.shape
     i = pl.program_id(0)
 
@@ -223,15 +223,26 @@ def _count_kernel(stripe_ref, w_local_ref, z_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    wcols = jax.lax.broadcasted_iota(jnp.int32, (tile, v_loc), dimension=1)
-    zcols = jax.lax.broadcasted_iota(jnp.int32, (tile, k_pad), dimension=1)
-    oh_w = (wcols == w_local_ref[:]).astype(jnp.bfloat16)  # pad slots (-1): zero row
-    oh_z = (zcols == z_ref[:]).astype(jnp.bfloat16)
+    # LANE-major one-hots: token ids arrive as [8, tile] blocks (row 0 is the
+    # data; the 8x row replication exists because an [N, 1] column array gets
+    # the T(8,128) tiled HBM layout — lanes pad 1 -> 128, a 128x memory blowup
+    # at rung-3+ token counts).  Contraction on lanes of both operands maps
+    # onto the MXU (measured 3.0 ms / 1M tokens at v_loc=256, K=512 on v5e).
+    wrows = jax.lax.broadcasted_iota(jnp.int32, (v_loc, tile), dimension=0)
+    zrows = jax.lax.broadcasted_iota(jnp.int32, (k_pad, tile), dimension=0)
+    oh_wT = (wrows == w_local_ref[0:1, :]).astype(jnp.bfloat16)  # pads (-1): zero
+    oh_zT = (zrows == z_ref[0:1, :]).astype(jnp.bfloat16)
     # [v_loc, K] += onehot_w^T @ onehot_z — 0/1 bf16 inputs, exact f32 accumulate
     out_ref[:] += jax.lax.dot_general(
-        oh_w, oh_z, (((0,), (0,)), ((), ())),
+        oh_wT, oh_zT, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+
+
+def replicate_rows(x2d: jax.Array) -> jax.Array:
+    """[nt, tile] -> [nt*8, tile] row replication (see _count_kernel)."""
+    nt, tile = x2d.shape
+    return jnp.broadcast_to(x2d[:, None, :], (nt, 8, tile)).reshape(nt * 8, tile)
 
 
 @functools.partial(
@@ -240,7 +251,7 @@ def _count_kernel(stripe_ref, w_local_ref, z_ref, out_ref):
 def build_nwk(
     z: jax.Array,               # int32 [T_pad] — assignments in sweep-layout order
     row_gather_idx: jax.Array,  # int32 [T2 // 8]
-    w_local: jax.Array,         # int32 [T2]
+    w_local8: jax.Array,        # int32 [(T2 // tile) * 8, tile] — replicated rows
     tile_stripe: jax.Array,     # int32 [T2 // tile]
     *,
     v_loc: int,
@@ -250,21 +261,23 @@ def build_nwk(
     interpret: bool = False,
 ) -> jax.Array:
     """Rebuild the padded word-topic table ``[v_pad, k_pad]`` f32 from ``z``."""
-    t2 = w_local.shape[0]
-    if t2 % tile or v_pad % v_loc or z.shape[0] % _ALIGN:
+    nt = tile_stripe.shape[0]
+    t2 = nt * tile
+    if w_local8.shape != (nt * 8, tile) or v_pad % v_loc or z.shape[0] % _ALIGN:
         raise ValueError(
-            f"layout misaligned: T2={t2}, tile={tile}, v_pad={v_pad}, T={z.shape[0]}"
+            f"layout misaligned: w_local8 {w_local8.shape}, nt={nt}, "
+            f"tile={tile}, v_pad={v_pad}, T={z.shape[0]}"
         )
     # word-sorted view of z as a ROW gather (runs are 8-slot aligned)
     z_rows = jnp.take(z.reshape(-1, _ALIGN), row_gather_idx, axis=0)
-    z_g = z_rows.reshape(-1).astype(jnp.int32)
+    z8 = replicate_rows(z_rows.reshape(nt, tile).astype(jnp.int32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(t2 // tile,),
+        grid=(nt,),
         in_specs=[
-            pl.BlockSpec((tile, 1), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (v_loc, k_pad), lambda i, s: (s[i], 0), memory_space=pltpu.VMEM
@@ -275,4 +288,4 @@ def build_nwk(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((v_pad, k_pad), jnp.float32),
         interpret=interpret,
-    )(tile_stripe, w_local[:, None], z_g[:, None])
+    )(tile_stripe, w_local8, z8)

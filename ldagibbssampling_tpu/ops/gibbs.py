@@ -399,7 +399,7 @@ def _deferred_sweep_impl(
     token_mask: jax.Array,
     d0_blocks: jax.Array,
     row_gather_idx: jax.Array,
-    w_local: jax.Array,
+    w_local8: jax.Array,
     tile_stripe: jax.Array,
     alpha: jax.Array,
     beta: jax.Array,
@@ -479,7 +479,7 @@ def _deferred_sweep_impl(
 
     z, ndk_p, _ = lax.fori_loop(0, num_blocks, body, (state.z, ndk_p, nk_p))
     nwk_new = build_nwk(
-        z, row_gather_idx, w_local, tile_stripe,
+        z, row_gather_idx, w_local8, tile_stripe,
         v_loc=v_loc, v_pad=v_pad, k_pad=k_pad, tile=tile,
         interpret=pallas_interpret,
     )[: state.nwk.shape[0], :k]
@@ -590,25 +590,35 @@ def make_sweep_fn(
                     draw_method=draw_method, num_sweeps=num_sweeps,
                     use_pallas=False, sorted_words=sorted_words,
                 )
-        tdl = jnp.asarray(d_local)
-        jd0 = jnp.asarray(d0)
-        jrg = jnp.asarray(plan.row_gather_idx)
-        jwl = jnp.asarray(plan.w_local)
-        jts = jnp.asarray(plan.tile_stripe)
+        # token/layout arrays are passed as ARGUMENTS of the jitted sweep, not
+        # closed over: closure constants get embedded into the compile payload
+        # (measured: a 50M-token corpus overflows the remote-compile request)
+        tdl = jax.device_put(jnp.asarray(d_local))
+        jd0 = jax.device_put(jnp.asarray(d0))
+        jtw = jax.device_put(tw)
+        jtm = jax.device_put(tm)
+        from ldagibbssampling_tpu.ops.count_kernel import replicate_rows
+
+        jrg = jax.device_put(jnp.asarray(plan.row_gather_idx))
+        # lane-major row-replicated layout (see ops/count_kernel._count_kernel)
+        nt = plan.tile_stripe.shape[0]
+        jwl = jax.device_put(jax.jit(replicate_rows)(
+            jnp.asarray(plan.w_local.reshape(nt, plan.tile))))
+        jts = jax.device_put(jnp.asarray(plan.tile_stripe))
         noise_mode = "external" if pallas_interpret else "internal"
 
-        @jax.jit
         def run_deferred(state: SamplerState, alpha=alpha, beta=beta) -> SamplerState:
-            def one(_, s):
-                return _deferred_sweep_impl(
-                    s, tw, tdl, tm, jd0, jrg, jwl, jts,
-                    jnp.asarray(alpha, jnp.float32), jnp.asarray(beta, jnp.float32),
+            a = jnp.asarray(alpha, jnp.float32)
+            b = jnp.asarray(beta, jnp.float32)
+            for _ in range(num_sweeps):
+                state = _deferred_sweep_impl(
+                    state, jtw, tdl, jtm, jd0, jrg, jwl, jts, a, b,
                     block_size=block_size, d_loc=d_loc, row_tile=row_tile,
                     noise_mode=noise_mode, pallas_interpret=pallas_interpret,
                     vocab_size=None, v_loc=plan.v_loc, v_pad=plan.v_pad,
                     tile=plan.tile,
                 )
-            return lax.fori_loop(0, num_sweeps, one, state)
+            return state
 
         return run_deferred
 

@@ -75,13 +75,17 @@ def test_plan_layout_invariants():
 
 
 def test_build_nwk_exact():
+    from ldagibbssampling_tpu.ops.count_kernel import replicate_rows
+
     tw, td, _ = _corpus(seed=3)
     plan = plan_deferred(tw, td, V, BLOCK, v_loc=64, tile=128)
     rng = np.random.default_rng(7)
     z = rng.integers(0, K, plan.num_tokens).astype(np.int32)
+    nt = plan.tile_stripe.shape[0]
+    wl8 = replicate_rows(jnp.asarray(plan.w_local.reshape(nt, plan.tile)))
     out = build_nwk(
         jnp.asarray(z), jnp.asarray(plan.row_gather_idx),
-        jnp.asarray(plan.w_local), jnp.asarray(plan.tile_stripe),
+        wl8, jnp.asarray(plan.tile_stripe),
         v_loc=plan.v_loc, v_pad=plan.v_pad, k_pad=128, tile=plan.tile,
         interpret=True,
     )
