@@ -31,3 +31,88 @@ def r_hat(traces: np.ndarray) -> float:
         return 1.0 if b <= 0 else float("inf")
     var_plus = (n - 1) / n * w + b / n
     return float(np.sqrt(var_plus / w))
+
+
+def r_hat_array(traces: np.ndarray, eps: float = 1e-30) -> np.ndarray:
+    """Vectorized split-R̂ over every trailing element.
+
+    ``traces``: [n_chains, n_draws, ...]; returns R̂ with shape ``traces.shape[2:]``.
+    Elements whose within- and between-chain variances are both ~0 (e.g. a
+    φ cell that is essentially constant) report 1.0, not inf.
+    """
+    x = np.asarray(traces, dtype=np.float64)
+    if x.ndim < 2:
+        raise ValueError("traces must be [n_chains, n_draws, ...]")
+    n = x.shape[1] // 2
+    if n < 2:
+        return np.full(x.shape[2:], np.nan)
+    halves = np.concatenate([x[:, :n], x[:, n : 2 * n]], axis=0)  # [2C, n, ...]
+    chain_means = halves.mean(axis=1)
+    chain_vars = halves.var(axis=1, ddof=1)
+    w = chain_vars.mean(axis=0)
+    b = n * chain_means.var(axis=0, ddof=1)
+    var_plus = (n - 1) / n * w + b / n
+    out = np.sqrt(np.divide(var_plus, w, out=np.ones_like(w), where=w > eps))
+    out = np.where((w <= eps) & (b > eps), np.inf, out)
+    return out
+
+
+def align_topics(phi_ref: np.ndarray, phi: np.ndarray) -> np.ndarray:
+    """Greedy topic matching: permutation ``perm`` with ``phi[perm]`` ≈ ``phi_ref``.
+
+    φ is identified only up to topic relabeling across chains (label
+    switching), so cross-chain comparisons must align first.  Similarity is
+    the Bhattacharyya coefficient between topic-word rows (rows are
+    distributions over V); greedy max-picking is O(K³) worst case — fine for
+    the K ≤ a few thousand this model family uses.
+    """
+    a = np.sqrt(np.asarray(phi_ref, np.float64))
+    b = np.sqrt(np.asarray(phi, np.float64))
+    sim = a @ b.T                          # [K, K]
+    k = sim.shape[0]
+    perm = np.full(k, -1, np.int64)
+    sim = sim.copy()
+    for _ in range(k):
+        i, j = np.unravel_index(np.argmax(sim), sim.shape)
+        perm[i] = j
+        sim[i, :] = -np.inf
+        sim[:, j] = -np.inf
+    return perm
+
+
+def r_hat_phi(phi_draws: np.ndarray, mass_floor: float = 0.5) -> dict:
+    """Split-R̂ on φ across chains, after topic alignment (BASELINE config 4).
+
+    ``phi_draws``: [n_chains, n_draws, K, V] of per-save φ point estimates.
+    Chains are aligned to chain 0 by matching their *mean* φ (greedy
+    Bhattacharyya, :func:`align_topics`); R̂ is then computed elementwise on
+    the aligned φ cells and summarized over cells with enough posterior mass
+    (mean φ above ``mass_floor``/V — near-zero cells carry no convergence
+    signal and only add float noise).
+
+    Returns ``{"max", "p99", "frac_gt_1_1", "n_cells", "perms"}``.
+    """
+    x = np.asarray(phi_draws, np.float64)
+    if x.ndim != 4:
+        raise ValueError("phi_draws must be [n_chains, n_draws, K, V]")
+    c, s, k, v = x.shape
+    ref = x[0].mean(axis=0)
+    perms = [np.arange(k)]
+    aligned = [x[0]]
+    for ci in range(1, c):
+        perm = align_topics(ref, x[ci].mean(axis=0))
+        perms.append(perm)
+        aligned.append(x[ci][:, perm, :])
+    xa = np.stack(aligned)                  # [C, S, K, V]
+    mask = xa.mean(axis=(0, 1)) > (mass_floor / v)
+    rh = r_hat_array(xa)                    # [K, V]
+    cells = rh[mask]
+    if cells.size == 0:
+        cells = rh.reshape(-1)
+    return {
+        "max": float(np.max(cells)),
+        "p99": float(np.quantile(cells, 0.99)),
+        "frac_gt_1_1": float(np.mean(cells > 1.1)),
+        "n_cells": int(cells.size),
+        "perms": [p.tolist() for p in perms],
+    }

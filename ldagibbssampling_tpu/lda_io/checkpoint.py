@@ -122,3 +122,67 @@ def restore_run(
             ),
         )
     return out["state"], float(out["hyper"]["alpha"]), float(out["hyper"]["beta"])
+
+
+# ---------------------------------------------------------------------------
+# Mesh-runtime checkpoints: the sharded runtimes (parallel/adlda.py, grid.py,
+# tokenshard.py) hold their state as a dict of (possibly sharded) arrays
+# rather than a SamplerState.  Orbax handles sharded jax.Arrays natively; the
+# restore rebuilds each array with ITS CURRENT sharding (resume on the same
+# topology — elastic resharding is a documented non-goal, docs/PARALLELISM.md).
+
+
+def save_mesh_run(
+    directory: str | Path,
+    arrays: dict,
+    alpha: float,
+    beta: float,
+    step: int,
+    *,
+    max_to_keep: int = 3,
+) -> int:
+    """Save a dict of (sharded) arrays plus live (α, β) at ``step``."""
+    import orbax.checkpoint as ocp
+
+    with _manager(directory, max_to_keep) as mgr:
+        mgr.save(
+            int(step),
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(arrays),
+                hyper=ocp.args.JsonSave({"alpha": float(alpha), "beta": float(beta)}),
+            ),
+        )
+        mgr.wait_until_finished()
+    return int(step)
+
+
+def restore_mesh_run(
+    directory: str | Path,
+    like: dict,
+    step: Optional[int] = None,
+) -> tuple[dict, float, float]:
+    """Restore ``(arrays, alpha, beta)`` saved by :func:`save_mesh_run`.
+
+    ``like`` supplies shapes, dtypes AND shardings — each restored array lands
+    directly with the runtime's current ``NamedSharding``.
+    """
+    import orbax.checkpoint as ocp
+
+    with _manager(directory) as mgr:
+        if step is None:
+            step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint found under {directory}")
+
+        def _abstract(x):
+            sharding = getattr(x, "sharding", None)
+            return jax.ShapeDtypeStruct(np.shape(x), x.dtype, sharding=sharding)
+
+        out = mgr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(jax.tree.map(_abstract, like)),
+                hyper=ocp.args.JsonRestore(),
+            ),
+        )
+    return out["state"], float(out["hyper"]["alpha"]), float(out["hyper"]["beta"])

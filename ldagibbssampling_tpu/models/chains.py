@@ -79,10 +79,13 @@ class ChainSet:
             return jax.vmap(one)(states)
 
         self._run = run
-        self.ll_trace: list[np.ndarray] = []  # per sweep: [num_chains]
+        self.ll_trace: list[np.ndarray] = []   # per sweep: [num_chains]
+        self.phi_trace: list[np.ndarray] = []  # per recorded draw: [num_chains, K, V]
 
     # ------------------------------------------------------------------
-    def sweep(self, n: int = 1, record_ll: bool = False) -> None:
+    def sweep(
+        self, n: int = 1, record_ll: bool = False, record_phi: bool = False
+    ) -> None:
         from ldagibbssampling_tpu.evaluation.metrics import log_likelihood
 
         for _ in range(n):
@@ -96,6 +99,10 @@ class ChainSet:
                         / max(self.corpus.num_tokens, 1)
                     )
                 self.ll_trace.append(np.asarray(lls))
+            if record_phi:
+                self.phi_trace.append(np.stack(
+                    [self.chain_phi_theta(c)[0] for c in range(self.num_chains)]
+                ))
 
     def chain_state(self, c: int) -> SamplerState:
         return jax.tree.map(lambda x: x[c], self.states)
@@ -113,6 +120,20 @@ class ChainSet:
         if len(self.ll_trace) < 4:
             return float("nan")
         return r_hat(np.stack(self.ll_trace, axis=1))
+
+    def r_hat_phi(self) -> dict:
+        """Topic-aligned split-R̂ on φ (BASELINE config 4: "R-hat on φ").
+
+        Needs ≥4 recorded draws (``sweep(record_phi=True)``); chains are
+        aligned to chain 0 before comparison (label switching) — see
+        ``evaluation.diagnostics.r_hat_phi``.
+        """
+        from ldagibbssampling_tpu.evaluation.diagnostics import r_hat_phi
+
+        if len(self.phi_trace) < 4:
+            return {"max": float("nan"), "p99": float("nan"),
+                    "frac_gt_1_1": float("nan"), "n_cells": 0, "perms": []}
+        return r_hat_phi(np.stack(self.phi_trace, axis=1))
 
     def mean_phi(self) -> np.ndarray:
         """Posterior-averaged φ across chains (label switching caveat: chains

@@ -77,3 +77,24 @@ def sharded_alpha_update(ndk_local: jax.Array, doc_lengths_local: jax.Array,
         den = k * lax.psum(den_local, axis)
         a = jnp.clip(a * num / jnp.maximum(den, 1e-30), 1e-6, 1e3)
     return a
+
+
+def sharded_beta_update(
+    nwk_local: jax.Array, nk: jax.Array, beta: jax.Array, axis: str,
+    v_global: int, iters: int = 5,
+) -> jax.Array:
+    """Minka β update inside ``shard_map`` over a vocab-sharded ``nwk`` slab.
+
+    ``nwk_local`` is this shard's ``[V_s, K]`` slab (zero padding rows
+    contribute Ψ(β)−Ψ(β)=0 to the numerator); ``nk`` is the replicated topic
+    total, so only the numerator needs a ``psum``.  ``v_global`` is the FULL
+    vocabulary size — the slab height is neither V nor the smoothing mass.
+    """
+    nwk = nwk_local.astype(jnp.float32)
+    nk = nk.astype(jnp.float32)
+    b = jnp.asarray(beta, jnp.float32)
+    for _ in range(iters):
+        num = lax.psum(jnp.sum(digamma(nwk + b) - digamma(b)), axis)
+        den = v_global * jnp.sum(digamma(nk + v_global * b) - digamma(v_global * b))
+        b = jnp.clip(b * num / jnp.maximum(den, 1e-30), 1e-8, 1e3)
+    return b

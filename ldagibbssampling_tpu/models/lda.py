@@ -167,6 +167,22 @@ class LdaModel:
             z = z_orig
         return z[: self.corpus.num_tokens]
 
+    def device_log_likelihood(self) -> float:
+        """Training LL computed on device in token chunks (constant host
+        memory; ``evaluation/device_metrics.py``) — the ``--ll-every`` fast
+        path at corpus sizes where host ``theta[td]`` would not fit."""
+        if self.state is None:
+            raise NotImplementedError("serial-oracle mode has no device state")
+        from ldagibbssampling_tpu.evaluation.device_metrics import (
+            device_log_likelihood)
+
+        pc = self._padded
+        return device_log_likelihood(
+            self.state.ndk, self.state.nwk, self.state.nk,
+            pc.token_word, pc.token_doc, pc.token_mask, self.doc_lengths,
+            self.alpha, self.beta,
+        )
+
     # ------------------------------------------------------------------
     def save_checkpoint(self, directory: str | Path) -> int:
         """Orbax checkpoint of the full run (state + live α/β)."""

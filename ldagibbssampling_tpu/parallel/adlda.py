@@ -135,7 +135,7 @@ def make_sharded_sweep_fn(
         tdl = jd0 = None
 
     def local_sweeps(tw, td, tm, dl, tdl, jd0, z, ndk, nwk, nk, key, sweep,
-                     n_sweeps):
+                     n_sweeps, alpha_t, beta_t):
         # inside shard_map every sharded arg has leading dim P/p == 1
         tw, td, tm, dl = tw[0], td[0], tm[0], dl[0]
         shard_key = jax.random.fold_in(key, lax.axis_index(axis))
@@ -147,14 +147,14 @@ def make_sharded_sweep_fn(
             if plan is not None:
                 new = fused_gibbs_sweep(
                     state, tw, tdl[0], tm, jd0[0],
-                    alpha=alpha, beta=beta, block_size=block_size,
+                    alpha=alpha_t, beta=beta_t, block_size=block_size,
                     d_loc=d_loc, row_tile=row_tile, sorted_words=sorted_words,
                     noise_mode=noise_mode, pallas_interpret=pallas_interpret,
                 )
             else:
                 new = gibbs_sweep(
                     state, tw, td, tm, dl,
-                    alpha=alpha, beta=beta, block_size=block_size,
+                    alpha=alpha_t, beta=beta_t, block_size=block_size,
                     draw_method=draw_method, sorted_words=sorted_words,
                 )
             # AD-LDA reconciliation: one psum of the word-topic deltas
@@ -176,7 +176,7 @@ def make_sharded_sweep_fn(
         local_sweeps,
         mesh=mesh,
         in_specs=(sharded, sharded, sharded, sharded, sharded, sharded,
-                  sharded, sharded, repl, repl, repl, repl, repl),
+                  sharded, sharded, repl, repl, repl, repl, repl, repl, repl),
         out_specs=(sharded, sharded, repl, repl, repl),
         check_vma=False,
     )
@@ -189,9 +189,13 @@ def make_sharded_sweep_fn(
 
     run_impl = jax.jit(fn)
 
-    def run(z, ndk, nwk, nk, key, sweep, n_sweeps=None):
+    def run(z, ndk, nwk, nk, key, sweep, n_sweeps=None, alpha_v=None, beta_v=None):
+        # α/β are traced scalars so Minka updates never recompile
         n = jnp.int32(num_sweeps if n_sweeps is None else n_sweeps)
-        return run_impl(tw, td, tm, dl, tdl, jd0, z, ndk, nwk, nk, key, sweep, n)
+        a = jnp.float32(alpha if alpha_v is None else alpha_v)
+        b = jnp.float32(beta if beta_v is None else beta_v)
+        return run_impl(tw, td, tm, dl, tdl, jd0, z, ndk, nwk, nk, key, sweep,
+                        n, a, b)
 
     return run
 
@@ -252,6 +256,9 @@ class ShardedLda:
         self.nwk = jax.device_put(jnp.asarray(nwk), repl_sharding)
         self.nk = jax.device_put(jnp.asarray(nk), repl_sharding)
         self.sweep_idx = jnp.int32(0)
+        # live hyperparameters (Minka optimization moves them; sweeps trace them)
+        self.alpha = float(config.alpha)
+        self.beta = float(config.beta)
 
         self._sweep_fn = make_sharded_sweep_fn(
             self.shards, mesh,
@@ -267,8 +274,63 @@ class ShardedLda:
         # one dispatch for the whole batch (traced fori bound)
         self.z, self.ndk, self.nwk, self.nk, self.sweep_idx = self._sweep_fn(
             self.z, self.ndk, self.nwk, self.nk, self._key, self.sweep_idx,
-            n_sweeps=n,
+            n_sweeps=n, alpha_v=self.alpha, beta_v=self.beta,
         )
+
+    def optimize_hyperparameters(self, iters: int = 5) -> tuple[float, float]:
+        """Minka (α, β) via collectives (BASELINE config 4).
+
+        α reconciles per-shard ``ndk`` digamma sums with a psum over the data
+        axis (``models/hyper.sharded_alpha_update``); β needs no collective
+        here — ``nwk`` is replicated in AD-LDA.  The new values flow into
+        subsequent sweeps as traced scalars (no recompile).
+        """
+        from ldagibbssampling_tpu.models.hyper import (
+            optimize_beta, sharded_alpha_update)
+
+        dl_sh = jax.device_put(
+            jnp.asarray(self.shards.doc_lengths),
+            NamedSharding(self.mesh, P(self.axis)),
+        )
+        fn = jax.jit(shard_map(
+            lambda nd, dlr: sharded_alpha_update(
+                nd[0], dlr[0], jnp.float32(self.alpha), self.axis, iters=iters
+            ),
+            mesh=self.mesh,
+            in_specs=(P(self.axis), P(self.axis)),
+            out_specs=P(),
+            check_vma=False,
+        ))
+        self.alpha = float(fn(self.ndk, dl_sh))
+        self.beta = float(optimize_beta(self.nwk, self.nk, self.beta, iters=iters))
+        return self.alpha, self.beta
+
+    # ------------------------------------------------------------------
+    def _ckpt_arrays(self) -> dict:
+        return {"z": self.z, "ndk": self.ndk, "nwk": self.nwk, "nk": self.nk,
+                "key": self._key, "sweep": self.sweep_idx}
+
+    def save_checkpoint(self, directory) -> int:
+        """Orbax checkpoint of the sharded run (arrays keep their shardings)."""
+        from ldagibbssampling_tpu.lda_io.checkpoint import save_mesh_run
+
+        return save_mesh_run(directory, self._ckpt_arrays(), self.alpha,
+                             self.beta, int(self.sweep_idx))
+
+    def restore_checkpoint(self, directory) -> int:
+        """Resume from the latest checkpoint (same mesh topology)."""
+        from ldagibbssampling_tpu.lda_io.checkpoint import restore_mesh_run
+
+        arrays, self.alpha, self.beta = restore_mesh_run(
+            directory, self._ckpt_arrays())
+        self.z, self.ndk, self.nwk, self.nk = (
+            arrays["z"], arrays["ndk"], arrays["nwk"], arrays["nk"])
+        # orbax restores unsharded leaves committed to one device; re-place
+        # them replicated on the mesh so they compose with sharded args
+        repl = NamedSharding(self.mesh, P())
+        self._key = jax.device_put(arrays["key"], repl)
+        self.sweep_idx = jax.device_put(arrays["sweep"], repl)
+        return int(self.sweep_idx)
 
     @property
     def sweeps_done(self) -> int:
@@ -279,7 +341,7 @@ class ShardedLda:
         nwk = np.asarray(self.nwk)
         nk = np.asarray(self.nk)
         v = nwk.shape[0]
-        return ((nwk + self.config.beta) / (nk + v * self.config.beta)).T
+        return ((nwk + self.beta) / (nk + v * self.beta)).T
 
     def theta(self) -> np.ndarray:
         """Gather sharded ndk back to global doc order via doc_map."""
@@ -292,8 +354,8 @@ class ShardedLda:
             for local, g in enumerate(self.shards.doc_map[s]):
                 if g >= 0:
                     out[g] = ndk[s, local]
-        out = (out + self.config.alpha) / (
-            lengths[:, None] + k * self.config.alpha
+        out = (out + self.alpha) / (
+            lengths[:, None] + k * self.alpha
         )
         return out
 

@@ -1,0 +1,231 @@
+"""Chains × data composition: independent Gibbs chains, each doc-sharded.
+
+Proves the composition row of docs/PARALLELISM.md (SURVEY.md §2.3 chain row):
+a 2D ``('chain', 'data')`` mesh where the chain axis is embarrassingly
+parallel (zero collectives between chains) and, WITHIN each chain, documents
+are sharded AD-LDA style with the usual per-sweep ``psum`` of word-topic
+deltas over the ``data`` axis only.  One ``shard_map`` program covers both
+axes; XLA compiles the data-axis psum so it never crosses chain boundaries.
+
+Reference anchor for the preserved semantics: ``LdaModel.sampleTopicZ``
+(SURVEY.md §3.3); convergence diagnostics per BASELINE config 4.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ldagibbssampling_tpu.config import LdaConfig
+from ldagibbssampling_tpu.corpus.flat import FlatCorpus
+from ldagibbssampling_tpu.models.state import SamplerState
+from ldagibbssampling_tpu.ops.gibbs import gibbs_sweep
+from ldagibbssampling_tpu.parallel.sharding import shard_corpus
+
+try:
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+
+class ShardedChainSet:
+    """``num_chains`` independent AD-LDA runs on a ('chain', 'data') mesh."""
+
+    def __init__(
+        self,
+        config: LdaConfig,
+        corpus: FlatCorpus,
+        num_chains: int = 2,
+        num_shards: Optional[int] = None,
+        mesh: Optional[Mesh] = None,
+    ) -> None:
+        if mesh is None:
+            devs = jax.devices()
+            p = num_shards or max(1, len(devs) // num_chains)
+            if num_chains * p > len(devs):
+                raise ValueError(
+                    f"{num_chains} chains x {p} shards > {len(devs)} devices"
+                )
+            mesh = Mesh(
+                np.array(devs[: num_chains * p]).reshape(num_chains, p),
+                ("chain", "data"),
+            )
+        self.mesh = mesh
+        c, p = mesh.devices.shape
+        self.num_chains = c
+        self.config = config
+        self.corpus = corpus
+        block = max(1, config.block_size)
+        self.shards = shard_corpus(corpus, p, block_size=block)
+        block = min(block, self.shards.tokens_per_shard)
+        self.block_size = block
+
+        k = config.topic_num
+        v = corpus.vocab_size
+        m_s = self.shards.docs_per_shard
+        t_s = self.shards.tokens_per_shard
+        mask = self.shards.token_mask.astype(bool)
+
+        root = jax.random.PRNGKey(config.seed)
+        self._key = jax.random.fold_in(root, 1)
+        z = np.empty((c, p, t_s), np.int32)
+        ndk = np.zeros((c, p, m_s, k), np.int32)
+        nwk = np.zeros((c, v, k), np.int32)
+        for ci in range(c):
+            zc = np.asarray(jax.random.randint(
+                jax.random.fold_in(root, 1000 + ci),
+                self.shards.token_word.shape, 0, k, jnp.int32,
+            ))
+            z[ci] = zc
+            for s in range(p):
+                np.add.at(ndk[ci, s],
+                          (self.shards.token_doc[s][mask[s]], zc[s][mask[s]]), 1)
+                np.add.at(nwk[ci],
+                          (self.shards.token_word[s][mask[s]], zc[s][mask[s]]), 1)
+        nk = nwk.sum(axis=1, dtype=np.int32)
+
+        spec = lambda *ax: NamedSharding(mesh, P(*ax))  # noqa: E731
+        self.z = jax.device_put(jnp.asarray(z), spec("chain", "data"))
+        self.ndk = jax.device_put(jnp.asarray(ndk), spec("chain", "data"))
+        self.nwk = jax.device_put(jnp.asarray(nwk), spec("chain"))
+        self.nk = jax.device_put(jnp.asarray(nk), spec("chain"))
+        self.sweep_idx = jnp.int32(0)
+
+        # tokens replicated over 'chain', sharded over 'data'
+        tok = spec("data")
+        tw = jax.device_put(jnp.asarray(self.shards.token_word), tok)
+        td = jax.device_put(jnp.asarray(self.shards.token_doc), tok)
+        tm = jax.device_put(jnp.asarray(self.shards.token_mask), tok)
+        dl = jax.device_put(jnp.asarray(self.shards.doc_lengths), tok)
+        alpha, beta = config.alpha, config.beta
+
+        def local(tw, td, tm, dl, z, ndk, nwk, nk, key, sweep, n_sweeps):
+            tw, td, tm, dl = tw[0], td[0], tm[0], dl[0]
+            ci = lax.axis_index("chain")
+            si = lax.axis_index("data")
+            cell_key = jax.random.fold_in(jax.random.fold_in(key, ci), si)
+
+            def one(_, carry):
+                z, ndk, nwk, nk, sweep = carry
+                st = SamplerState(z=z, ndk=ndk, nwk=nwk, nk=nk,
+                                  key=cell_key, sweep=sweep)
+                new = gibbs_sweep(
+                    st, tw, td, tm, dl,
+                    alpha=alpha, beta=beta, block_size=block,
+                    draw_method=config.draw_method,
+                )
+                # AD-LDA reconciliation within the chain ONLY: psum over 'data'
+                nwk = nwk + lax.psum(new.nwk - nwk, "data")
+                nk = nk + lax.psum(new.nk - nk, "data")
+                return new.z, new.ndk, nwk, nk, new.sweep
+
+            z, ndk, nwk, nk, sweep = lax.fori_loop(
+                0, n_sweeps, one, (z[0, 0], ndk[0, 0], nwk[0], nk[0], sweep)
+            )
+            return z[None, None], ndk[None, None], nwk[None], nk[None], sweep
+
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data"), P("data"),
+                      P("chain", "data"), P("chain", "data"),
+                      P("chain"), P("chain"), P(), P(), P()),
+            out_specs=(P("chain", "data"), P("chain", "data"),
+                       P("chain"), P("chain"), P()),
+            check_vma=False,
+        )
+        run_impl = jax.jit(fn)
+
+        def run(z, ndk, nwk, nk, key, sweep, n_sweeps=1):
+            return run_impl(tw, td, tm, dl, z, ndk, nwk, nk, key, sweep,
+                            jnp.int32(n_sweeps))
+
+        self._sweep_fn = run
+        self.ll_trace: list[np.ndarray] = []
+        self.phi_trace: list[np.ndarray] = []
+
+    # ------------------------------------------------------------------
+    def sweep(self, n: int = 1, record_ll: bool = False,
+              record_phi: bool = False) -> None:
+        from ldagibbssampling_tpu.evaluation.metrics import log_likelihood
+
+        for _ in range(n):
+            self.z, self.ndk, self.nwk, self.nk, self.sweep_idx = self._sweep_fn(
+                self.z, self.ndk, self.nwk, self.nk, self._key, self.sweep_idx,
+            )
+            if record_ll or record_phi:
+                phis = [self.chain_phi(ci) for ci in range(self.num_chains)]
+                if record_phi:
+                    self.phi_trace.append(np.stack(phis))
+                if record_ll:
+                    thetas = [self.chain_theta(ci) for ci in range(self.num_chains)]
+                    self.ll_trace.append(np.asarray([
+                        log_likelihood(phis[ci], thetas[ci], self.corpus)
+                        / max(self.corpus.num_tokens, 1)
+                        for ci in range(self.num_chains)
+                    ]))
+
+    @property
+    def sweeps_done(self) -> int:
+        return int(self.sweep_idx)
+
+    # ------------------------------------------------------------------
+    def chain_phi(self, ci: int) -> np.ndarray:
+        nwk = np.asarray(self.nwk)[ci]
+        nk = np.asarray(self.nk)[ci]
+        v = nwk.shape[0]
+        b = self.config.beta
+        return ((nwk + b) / (nk + v * b)).T
+
+    def chain_theta(self, ci: int) -> np.ndarray:
+        ndk = np.asarray(self.ndk)[ci]
+        k = ndk.shape[-1]
+        m = self.corpus.num_docs
+        out = np.zeros((m, k), np.float64)
+        lengths = self.corpus.doc_lengths()
+        for s in range(self.shards.num_shards):
+            for local, g in enumerate(self.shards.doc_map[s]):
+                if g >= 0:
+                    out[g] = ndk[s, local]
+        a = self.config.alpha
+        return (out + a) / (lengths[:, None] + k * a)
+
+    def r_hat_ll(self) -> float:
+        from ldagibbssampling_tpu.evaluation.diagnostics import r_hat
+
+        if len(self.ll_trace) < 4:
+            return float("nan")
+        return r_hat(np.stack(self.ll_trace, axis=1))
+
+    def r_hat_phi(self) -> dict:
+        from ldagibbssampling_tpu.evaluation.diagnostics import r_hat_phi
+
+        if len(self.phi_trace) < 4:
+            return {"max": float("nan"), "p99": float("nan"),
+                    "frac_gt_1_1": float("nan"), "n_cells": 0, "perms": []}
+        return r_hat_phi(np.stack(self.phi_trace, axis=1))
+
+    # ------------------------------------------------------------------
+    def check_counts_consistent(self) -> None:
+        """Per-chain serial recount vs the psum-reconciled device tables."""
+        z = np.asarray(self.z)
+        mask = self.shards.token_mask.astype(bool)
+        k = self.config.topic_num
+        v = self.corpus.vocab_size
+        p = self.shards.num_shards
+        for ci in range(self.num_chains):
+            nwk_ref = np.zeros((v, k), np.int64)
+            ndk_ref = np.zeros((p, self.shards.docs_per_shard, k), np.int64)
+            for s in range(p):
+                np.add.at(ndk_ref[s],
+                          (self.shards.token_doc[s][mask[s]], z[ci, s][mask[s]]), 1)
+                np.add.at(nwk_ref,
+                          (self.shards.token_word[s][mask[s]], z[ci, s][mask[s]]), 1)
+            np.testing.assert_array_equal(np.asarray(self.nwk)[ci], nwk_ref)
+            np.testing.assert_array_equal(np.asarray(self.ndk)[ci], ndk_ref)
+            np.testing.assert_array_equal(np.asarray(self.nk)[ci],
+                                          nwk_ref.sum(axis=0))

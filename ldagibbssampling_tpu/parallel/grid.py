@@ -109,7 +109,12 @@ class GridShards:
 def shard_corpus_grid(
     corpus: FlatCorpus, p_data: int, p_vocab: int, block_size: int = 1
 ) -> GridShards:
-    """Partition tokens onto a ``p_data × p_vocab`` grid, padded uniformly."""
+    """Partition tokens onto a ``p_data × p_vocab`` grid, padded uniformly.
+
+    Fully vectorized: a single stable sort by (doc-shard, vocab-part) buckets
+    all tokens at once — no per-token Python (round 2 did; at rung-3 scale,
+    10^8 tokens, that loop was hours of host time; this is seconds).
+    """
     lengths = corpus.doc_lengths()
     shard_docs = assign_docs(lengths, p_data)
     bounds = partition_vocab(corpus, p_vocab)
@@ -117,38 +122,50 @@ def shard_corpus_grid(
     v_s = max(1, int(np.max(np.diff(bounds))))
 
     m_s = max(1, max(len(s) for s in shard_docs))
-    # bucket tokens per cell
-    cells: list[list[list[tuple[int, int]]]] = [
-        [[] for _ in range(p_vocab)] for _ in range(p_data)
-    ]
-    word_part = np.searchsorted(bounds, corpus.token_word, side="right") - 1
-    for i, docs in enumerate(shard_docs):
-        for local_doc, g in enumerate(docs):
-            s, e = corpus.doc_ptr[g], corpus.doc_ptr[g + 1]
-            for t in range(s, e):
-                j = int(word_part[t])
-                cells[i][j].append(
-                    (int(corpus.token_word[t]) - int(bounds[j]), local_doc)
-                )
-
-    t_raw = max(1, max(len(cells[i][j]) for i in range(p_data) for j in range(p_vocab)))
-    t_c = ((t_raw + block_size - 1) // block_size) * block_size
-
-    tw = np.zeros((p_data, p_vocab, t_c), dtype=np.int32)
-    td = np.zeros((p_data, p_vocab, t_c), dtype=np.int32)
-    tm = np.zeros((p_data, p_vocab, t_c), dtype=np.int32)
+    num_docs = corpus.num_docs
+    shard_of_doc = np.zeros(max(num_docs, 1), np.int32)
+    local_of_doc = np.zeros(max(num_docs, 1), np.int32)
     dl = np.zeros((p_data, m_s), dtype=np.int32)
     dmap = np.full((p_data, m_s), -1, dtype=np.int32)
-
     for i, docs in enumerate(shard_docs):
-        for local_doc, g in enumerate(docs):
-            dl[i, local_doc] = int(lengths[g])
-            dmap[i, local_doc] = g
-        for j in range(p_vocab):
-            for pos, (w_local, d_local) in enumerate(cells[i][j]):
-                tw[i, j, pos] = w_local
-                td[i, j, pos] = d_local
-                tm[i, j, pos] = 1
+        idx = np.asarray(docs, np.int64)
+        shard_of_doc[idx] = i
+        local_of_doc[idx] = np.arange(len(docs), dtype=np.int32)
+        dl[i, : len(docs)] = lengths[idx]
+        dmap[i, : len(docs)] = idx
+
+    word_part = (
+        np.searchsorted(bounds, corpus.token_word, side="right") - 1
+    ).astype(np.int64)
+    sd = shard_of_doc[corpus.token_doc].astype(np.int64)
+    group = sd * p_vocab + word_part
+    num_groups = p_data * p_vocab
+    counts = np.bincount(group, minlength=num_groups)
+    t_raw = max(1, int(counts.max()))
+    t_c = ((t_raw + block_size - 1) // block_size) * block_size
+
+    # destination slot per token: group*t_c + stable rank within group.
+    # num_groups is small (the device grid), so per-group mask passes beat an
+    # O(T log T) argsort by ~3x at 10^8 tokens; one packed int64 scatter
+    # replaces three int32 scatters (scattered writes dominate at this scale)
+    idx_dt = np.int32 if num_groups * t_c < (1 << 31) else np.int64
+    flat = np.empty(group.shape[0], idx_dt)
+    for g in range(num_groups):
+        m = group == g
+        flat[m] = np.arange(
+            g * t_c, g * t_c + int(counts[g]), dtype=idx_dt
+        )
+    w_local = (corpus.token_word - bounds[word_part]).astype(np.int64)
+    packed = np.zeros(num_groups * t_c, dtype=np.int64)  # (d_local << 32) | w+1
+    packed[flat] = (
+        local_of_doc[corpus.token_doc].astype(np.int64) << 32
+    ) | (w_local + 1)
+    tm = (packed & 0xFFFFFFFF).astype(np.int32)
+    tw = (tm - 1).clip(min=0)
+    tm = (tm > 0).astype(np.int32)
+    tw = np.where(tm > 0, tw, 0).reshape(p_data, p_vocab, t_c)
+    td = (packed >> 32).astype(np.int32).reshape(p_data, p_vocab, t_c)
+    tm = tm.reshape(p_data, p_vocab, t_c)
 
     return GridShards(
         token_word=tw, token_doc=td, token_mask=tm,
@@ -253,7 +270,7 @@ def make_grid_sweep_fn(
             jnp.zeros((shards.p_data, shards.p_vocab, 1), jnp.int32), grid_sh)
 
     def local_sweeps(tw, td, tm, dl, tdl, jd0, z, ndk, nwk, nk, key, sweep,
-                     n_sweeps):
+                     n_sweeps, alpha_t, beta_t):
         tw, td, tm = tw[0, 0], td[0, 0], tm[0, 0]
         dl = dl[0]
         i = lax.axis_index("data")
@@ -269,7 +286,7 @@ def make_grid_sweep_fn(
             if plan is not None:
                 new = fused_gibbs_sweep(
                     state, tw, tdl[0, 0], tm, jd0[0, 0],
-                    alpha=alpha, beta=beta, block_size=block_size,
+                    alpha=alpha_t, beta=beta_t, block_size=block_size,
                     d_loc=d_loc, row_tile=row_tile, sorted_words=sorted_words,
                     noise_mode=noise_mode, pallas_interpret=pallas_interpret,
                     vocab_size=v_global,
@@ -277,7 +294,7 @@ def make_grid_sweep_fn(
             else:
                 new = gibbs_sweep(
                     state, tw, td, tm, dl,
-                    alpha=alpha, beta=beta, block_size=block_size,
+                    alpha=alpha_t, beta=beta_t, block_size=block_size,
                     draw_method=draw_method, vocab_size=v_global,
                     sorted_words=sorted_words,
                 )
@@ -300,7 +317,7 @@ def make_grid_sweep_fn(
             P("data"),                                                    # dl
             P("data", "vocab"), P("data", "vocab"),                       # tdl jd0
             P("data", "vocab"), P("data"), P("vocab"), P(), P(), P(),     # z ndk nwk nk key sweep
-            P(),                                                          # n_sweeps
+            P(), P(), P(),                                                # n_sweeps alpha beta
         ),
         out_specs=(P("data", "vocab"), P("data"), P("vocab"), P(), P()),
         check_vma=False,
@@ -308,9 +325,13 @@ def make_grid_sweep_fn(
 
     run_impl = jax.jit(fn)
 
-    def run(z, ndk, nwk, nk, key, sweep, n_sweeps=None):
+    def run(z, ndk, nwk, nk, key, sweep, n_sweeps=None, alpha_v=None, beta_v=None):
+        # α/β are traced scalars so Minka updates never recompile
         n = jnp.int32(num_sweeps if n_sweeps is None else n_sweeps)
-        return run_impl(tw, td, tm, dl, tdl, jd0, z, ndk, nwk, nk, key, sweep, n)
+        a = jnp.float32(alpha if alpha_v is None else alpha_v)
+        b = jnp.float32(beta if beta_v is None else beta_v)
+        return run_impl(tw, td, tm, dl, tdl, jd0, z, ndk, nwk, nk, key, sweep,
+                        n, a, b)
 
     return run
 
@@ -380,6 +401,9 @@ class GridLda:
         self.nwk = jax.device_put(jnp.asarray(nwk), spec("vocab"))
         self.nk = jax.device_put(jnp.asarray(nk), spec())
         self.sweep_idx = jnp.int32(0)
+        # live hyperparameters (Minka optimization moves them; sweeps trace them)
+        self.alpha = float(config.alpha)
+        self.beta = float(config.beta)
 
         self._sweep_fn = make_grid_sweep_fn(
             self.shards, mesh,
@@ -395,8 +419,70 @@ class GridLda:
         # one dispatch for the whole batch (traced fori bound)
         self.z, self.ndk, self.nwk, self.nk, self.sweep_idx = self._sweep_fn(
             self.z, self.ndk, self.nwk, self.nk, self._key, self.sweep_idx,
-            n_sweeps=n,
+            n_sweeps=n, alpha_v=self.alpha, beta_v=self.beta,
         )
+
+    def optimize_hyperparameters(self, iters: int = 5) -> tuple[float, float]:
+        """Minka (α, β) via collectives on the 2D mesh (BASELINE config 4).
+
+        α: ``ndk`` digamma sums psum'd over 'data'; β: vocab-sharded ``nwk``
+        slab sums psum'd over 'vocab' (``models/hyper.sharded_beta_update``) —
+        pad rows contribute Ψ(β)−Ψ(β)=0.  Both run as one shard_map on the
+        grid mesh; updated values flow into sweeps as traced scalars.
+        """
+        from ldagibbssampling_tpu.models.hyper import (
+            sharded_alpha_update, sharded_beta_update)
+
+        dl_sh = jax.device_put(
+            jnp.asarray(self.shards.doc_lengths),
+            NamedSharding(self.mesh, P("data")),
+        )
+        v_global = self.corpus.vocab_size
+
+        def body(nd, dlr, nwk, nk):
+            a = sharded_alpha_update(
+                nd[0], dlr[0], jnp.float32(self.alpha), "data", iters=iters)
+            b = sharded_beta_update(
+                nwk[0], nk, jnp.float32(self.beta), "vocab", v_global,
+                iters=iters)
+            return a, b
+
+        fn = jax.jit(shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P("data"), P("data"), P("vocab"), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        ))
+        a, b = fn(self.ndk, dl_sh, self.nwk, self.nk)
+        self.alpha, self.beta = float(a), float(b)
+        return self.alpha, self.beta
+
+    # ------------------------------------------------------------------
+    def _ckpt_arrays(self) -> dict:
+        return {"z": self.z, "ndk": self.ndk, "nwk": self.nwk, "nk": self.nk,
+                "key": self._key, "sweep": self.sweep_idx}
+
+    def save_checkpoint(self, directory) -> int:
+        """Orbax checkpoint of the grid run (arrays keep their shardings)."""
+        from ldagibbssampling_tpu.lda_io.checkpoint import save_mesh_run
+
+        return save_mesh_run(directory, self._ckpt_arrays(), self.alpha,
+                             self.beta, int(self.sweep_idx))
+
+    def restore_checkpoint(self, directory) -> int:
+        """Resume from the latest checkpoint (same mesh topology)."""
+        from ldagibbssampling_tpu.lda_io.checkpoint import restore_mesh_run
+
+        arrays, self.alpha, self.beta = restore_mesh_run(
+            directory, self._ckpt_arrays())
+        self.z, self.ndk, self.nwk, self.nk = (
+            arrays["z"], arrays["ndk"], arrays["nwk"], arrays["nk"])
+        # orbax restores unsharded leaves committed to one device; re-place
+        # them replicated on the mesh so they compose with sharded args
+        repl = NamedSharding(self.mesh, P())
+        self._key = jax.device_put(arrays["key"], repl)
+        self.sweep_idx = jax.device_put(arrays["sweep"], repl)
+        return int(self.sweep_idx)
 
     @property
     def sweeps_done(self) -> int:
@@ -419,7 +505,7 @@ class GridLda:
         nwk = self.global_nwk().astype(np.float64)
         nk = np.asarray(self.nk, dtype=np.float64)
         v = nwk.shape[0]
-        return ((nwk + self.config.beta) / (nk + v * self.config.beta)).T
+        return ((nwk + self.beta) / (nk + v * self.beta)).T
 
     def theta(self) -> np.ndarray:
         ndk = np.asarray(self.ndk)
@@ -431,7 +517,7 @@ class GridLda:
             for local, g in enumerate(self.shards.doc_map[i]):
                 if g >= 0:
                     out[g] = ndk[i, local]
-        return (out + self.config.alpha) / (lengths[:, None] + k * self.config.alpha)
+        return (out + self.alpha) / (lengths[:, None] + k * self.alpha)
 
     # ------------------------------------------------------------------
     def check_counts_consistent(self) -> None:

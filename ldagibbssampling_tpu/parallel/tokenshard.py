@@ -124,7 +124,8 @@ class TokenShardedLda:
         bsz = block
         sorted_flag = self._sorted
 
-        def local_sweep(tw, td, dlr, tm, z, ndk, nwk, nk, key, sweep, n_sweeps):
+        def local_sweep(tw, td, dlr, tm, z, ndk, nwk, nk, key, sweep, n_sweeps,
+                        alpha_t, beta_t):
             tw, td, tm = tw[0], td[0], tm[0]
             shard_key = jax.random.fold_in(key, lax.axis_index(axis))
 
@@ -134,7 +135,7 @@ class TokenShardedLda:
                                      key=shard_key, sweep=sweep)
                 new = gibbs_sweep(
                     state, tw, td, tm, dlr,
-                    alpha=alpha, beta=beta, block_size=bsz, draw_method=draw,
+                    alpha=alpha_t, beta=beta_t, block_size=bsz, draw_method=draw,
                     sorted_words=sorted_flag,
                 )
                 # both tables are replicas here: psum deltas for each
@@ -153,16 +154,22 @@ class TokenShardedLda:
             local_sweep,
             mesh=mesh,
             in_specs=(P(axis), P(axis), P(), P(axis),
-                      P(axis), P(), P(), P(), P(), P(), P()),
+                      P(axis), P(), P(), P(), P(), P(), P(), P(), P()),
             out_specs=(P(axis), P(), P(), P(), P()),
             check_vma=False,
         )
 
         run_impl = jax.jit(fn)
+        # live hyperparameters (Minka optimization moves them; traced scalars
+        # so updates never recompile)
+        self.alpha = float(config.alpha)
+        self.beta = float(config.beta)
 
-        def run(z, ndk, nwk, nk, key, sweep, n_sweeps=1):
+        def run(z, ndk, nwk, nk, key, sweep, n_sweeps=1, alpha_v=None, beta_v=None):
+            a = jnp.float32(self.alpha if alpha_v is None else alpha_v)
+            b = jnp.float32(self.beta if beta_v is None else beta_v)
             return run_impl(twj, tdj, dl, tmj, z, ndk, nwk, nk, key, sweep,
-                            jnp.int32(n_sweeps))
+                            jnp.int32(n_sweeps), a, b)
 
         self._sweep_fn = run
 
@@ -171,8 +178,45 @@ class TokenShardedLda:
         # one dispatch for the whole batch (traced fori bound)
         self.z, self.ndk, self.nwk, self.nk, self.sweep_idx = self._sweep_fn(
             self.z, self.ndk, self.nwk, self.nk, self._key, self.sweep_idx,
-            n_sweeps=n,
+            n_sweeps=n, alpha_v=self.alpha, beta_v=self.beta,
         )
+
+    def optimize_hyperparameters(self, iters: int = 5) -> tuple[float, float]:
+        """Minka (α, β); both tables are replicated in this runtime, so the
+        single-chip fixed-point updates apply directly (no collectives)."""
+        from ldagibbssampling_tpu.models.hyper import optimize_alpha, optimize_beta
+
+        self.alpha = float(optimize_alpha(
+            self.ndk, jnp.asarray(self.doc_lengths), self.alpha, iters=iters))
+        self.beta = float(optimize_beta(self.nwk, self.nk, self.beta, iters=iters))
+        return self.alpha, self.beta
+
+    # ------------------------------------------------------------------
+    def _ckpt_arrays(self) -> dict:
+        return {"z": self.z, "ndk": self.ndk, "nwk": self.nwk, "nk": self.nk,
+                "key": self._key, "sweep": self.sweep_idx}
+
+    def save_checkpoint(self, directory) -> int:
+        """Orbax checkpoint of the token-sharded run."""
+        from ldagibbssampling_tpu.lda_io.checkpoint import save_mesh_run
+
+        return save_mesh_run(directory, self._ckpt_arrays(), self.alpha,
+                             self.beta, int(self.sweep_idx))
+
+    def restore_checkpoint(self, directory) -> int:
+        """Resume from the latest checkpoint (same mesh topology)."""
+        from ldagibbssampling_tpu.lda_io.checkpoint import restore_mesh_run
+
+        arrays, self.alpha, self.beta = restore_mesh_run(
+            directory, self._ckpt_arrays())
+        self.z, self.ndk, self.nwk, self.nk = (
+            arrays["z"], arrays["ndk"], arrays["nwk"], arrays["nk"])
+        # orbax restores unsharded leaves committed to one device; re-place
+        # them replicated on the mesh so they compose with sharded args
+        repl = NamedSharding(self.mesh, P())
+        self._key = jax.device_put(arrays["key"], repl)
+        self.sweep_idx = jax.device_put(arrays["sweep"], repl)
+        return int(self.sweep_idx)
 
     @property
     def sweeps_done(self) -> int:
@@ -183,13 +227,13 @@ class TokenShardedLda:
         nwk = np.asarray(self.nwk, dtype=np.float64)
         nk = np.asarray(self.nk, dtype=np.float64)
         v = nwk.shape[0]
-        return ((nwk + self.config.beta) / (nk + v * self.config.beta)).T
+        return ((nwk + self.beta) / (nk + v * self.beta)).T
 
     def theta(self) -> np.ndarray:
         ndk = np.asarray(self.ndk, dtype=np.float64)
         k = ndk.shape[1]
-        return (ndk + self.config.alpha) / (
-            self.doc_lengths[:, None] + k * self.config.alpha
+        return (ndk + self.alpha) / (
+            self.doc_lengths[:, None] + k * self.alpha
         )
 
     # ------------------------------------------------------------------

@@ -130,9 +130,15 @@ def run_inference(
         if metrics is not None:
             scalars = {"tokens_per_s": timer.last_tokens_per_s}  # chunk == 1 here
             if ll_every > 0 and (i_last + 1) % ll_every == 0:
-                from ldagibbssampling_tpu.evaluation.metrics import log_likelihood
+                dev_ll = getattr(backend, "device_log_likelihood", None)
+                if callable(dev_ll):
+                    # chunked on-device path: constant host memory
+                    ll = dev_ll()
+                else:
+                    from ldagibbssampling_tpu.evaluation.metrics import (
+                        log_likelihood)
 
-                ll = log_likelihood(backend.phi(), backend.theta(), corpus)
+                    ll = log_likelihood(backend.phi(), backend.theta(), corpus)
                 scalars["log_likelihood"] = ll
                 if corpus.num_tokens:
                     scalars["perplexity"] = float(
