@@ -289,3 +289,60 @@ def build_nwk(
         out_shape=jax.ShapeDtypeStruct((v_pad, k_pad), jnp.float32),
         interpret=interpret,
     )(tile_stripe, w_local8, z8)
+
+
+def stack_plans(plans: list["DeferredPlan"]) -> dict:
+    """Uniformize per-shard plans to one static shape and stack ``[P, ...]``.
+
+    The shard_map'd AD-LDA program needs identical shapes on every shard:
+    shorter shards get all-pad trailing blocks (mask 0, last word/doc repeated
+    so block word order stays non-decreasing) and all-pad trailing rebuild
+    tiles (``w_local == -1`` rows assigned to the LAST stripe, which every
+    plan visits — tile stripes stay non-decreasing and every output stripe
+    stays initialized).
+    """
+    if not plans:
+        raise ValueError("no plans to stack")
+    p0 = plans[0]
+    if any((q.v_loc, q.v_pad, q.tile, q.block_size)
+           != (p0.v_loc, p0.v_pad, p0.tile, p0.block_size) for q in plans):
+        raise ValueError("plans disagree on static layout parameters")
+    block, tile = p0.block_size, p0.tile
+    t_pad = max(q.num_tokens for q in plans)
+    nt = max(q.tile_stripe.shape[0] for q in plans)
+    last_stripe = p0.v_pad // p0.v_loc - 1
+
+    def pad_sweep(q: "DeferredPlan"):
+        n = q.num_tokens
+        tw = np.full(t_pad, q.token_word[-1] if n else 0, np.int32)
+        td = np.full(t_pad, q.token_doc[-1] if n else 0, np.int32)
+        tm = np.zeros(t_pad, np.int32)
+        pm = np.full(t_pad, -1, np.int64)
+        tw[:n], td[:n], tm[:n], pm[:n] = (
+            q.token_word, q.token_doc, q.token_mask, q.perm)
+        return tw, td, tm, pm
+
+    def pad_rebuild(q: "DeferredPlan"):
+        qt = q.tile_stripe.shape[0]
+        ts = np.full(nt, last_stripe, np.int32)
+        wl = np.full(nt * tile, -1, np.int32)
+        rg = np.zeros(nt * tile // _ALIGN, np.int32)
+        ts[:qt] = q.tile_stripe
+        wl[: qt * tile] = q.w_local
+        rg[: qt * tile // _ALIGN] = q.row_gather_idx
+        return ts, wl, rg
+
+    sw = [pad_sweep(q) for q in plans]
+    rb = [pad_rebuild(q) for q in plans]
+    return {
+        "token_word": np.stack([s[0] for s in sw]),
+        "token_doc": np.stack([s[1] for s in sw]),
+        "token_mask": np.stack([s[2] for s in sw]),
+        "perm": np.stack([s[3] for s in sw]),
+        "tile_stripe": np.stack([r[0] for r in rb]),
+        "w_local": np.stack([r[1] for r in rb]),
+        "row_gather_idx": np.stack([r[2] for r in rb]),
+        "v_loc": p0.v_loc, "v_pad": p0.v_pad, "tile": tile,
+        "block_size": block, "num_tiles": nt,
+        "max_word_freq": max(q.max_word_freq for q in plans),
+    }

@@ -424,6 +424,58 @@ def _deferred_sweep_impl(
     Measured v5e, T=1M, K=500: 37.9 ms/sweep (block mode) → the rebuild path
     removes the ~22 ms row-count-bound gather+scatter pair.
     """
+    z, ndk, local_counts = deferred_local_counts(
+        state, token_word, token_dloc, token_mask, d0_blocks,
+        row_gather_idx, w_local8, tile_stripe, alpha, beta,
+        block_size=block_size, d_loc=d_loc, row_tile=row_tile,
+        noise_mode=noise_mode, pallas_interpret=pallas_interpret,
+        vocab_size=vocab_size, v_loc=v_loc, v_pad=v_pad, tile=tile,
+    )
+    count_dtype = state.nwk.dtype
+    # exact topic totals from the rebuilt table (the kernel's running f32 nk
+    # is a sampling normalizer only; integer-exact sums come from the rebuild)
+    nk_new = jnp.sum(local_counts.astype(jnp.int32), axis=0)
+    return SamplerState(
+        z=z,
+        ndk=ndk,
+        nwk=local_counts.astype(count_dtype),
+        nk=nk_new.astype(count_dtype),
+        key=state.key,
+        sweep=state.sweep + 1,
+    )
+
+
+def deferred_local_counts(
+    state: SamplerState,
+    token_word: jax.Array,
+    token_dloc: jax.Array,
+    token_mask: jax.Array,
+    d0_blocks: jax.Array,
+    row_gather_idx: jax.Array,
+    w_local8: jax.Array,
+    tile_stripe: jax.Array,
+    alpha: jax.Array,
+    beta: jax.Array,
+    *,
+    block_size: int,
+    d_loc: int,
+    row_tile: int,
+    noise_mode: str,
+    pallas_interpret: bool,
+    vocab_size: Optional[int],
+    v_loc: int,
+    v_pad: int,
+    tile: int,
+):
+    """Deferred-mode sweep core: returns ``(z, ndk, local_counts_f32)``.
+
+    ``local_counts`` is the word-topic count table of THIS token stream's
+    final assignments ([V, K] f32, integer-exact).  Single-chip callers use it
+    directly as the new ``nwk``; the AD-LDA runtime psums the per-shard local
+    tables over the data axis (global counts are the sum of shard-local
+    counts — no delta bookkeeping needed).  ``state.nwk`` is only READ, as the
+    sweep-stale snapshot (bf16 mirror).
+    """
     from ldagibbssampling_tpu.ops.count_kernel import build_nwk
     from ldagibbssampling_tpu.ops.pallas_gibbs import pallas_fused_block
 
@@ -431,7 +483,7 @@ def _deferred_sweep_impl(
     num_blocks = t_pad // block_size
     m, k = state.ndk.shape
     v = state.nwk.shape[0] if vocab_size is None else vocab_size
-    count_dtype = state.nwk.dtype
+    count_dtype = state.ndk.dtype
     k_pad = _round_up(k, 128)
     m_pad = max(m, d_loc)
 
@@ -477,23 +529,15 @@ def _deferred_sweep_impl(
         z = lax.dynamic_update_slice(z, znew.astype(zold.dtype), (start,))
         return z, ndk, nk_out
 
-    z, ndk_p, _ = lax.fori_loop(0, num_blocks, body, (state.z, ndk_p, nk_p))
-    nwk_new = build_nwk(
+    z, ndk_p, _ = lax.fori_loop(
+        0, num_blocks, body, (state.z, ndk_p, nk_p)
+    )
+    local_counts = build_nwk(
         z, row_gather_idx, w_local8, tile_stripe,
         v_loc=v_loc, v_pad=v_pad, k_pad=k_pad, tile=tile,
         interpret=pallas_interpret,
     )[: state.nwk.shape[0], :k]
-    # exact topic totals from the rebuilt table (the kernel's running f32 nk
-    # is a sampling normalizer only; integer-exact sums come from the rebuild)
-    nk_new = jnp.sum(nwk_new.astype(jnp.int32), axis=0)
-    return SamplerState(
-        z=z,
-        ndk=ndk_p[:m, :k].astype(count_dtype),
-        nwk=nwk_new.astype(count_dtype),
-        nk=nk_new.astype(count_dtype),
-        key=state.key,
-        sweep=state.sweep + 1,
-    )
+    return z, ndk_p[:m, :k].astype(count_dtype), local_counts
 
 
 def make_sweep_fn(

@@ -82,6 +82,73 @@ def _fused_shard_plan(shards: CorpusShards, block_size: int, num_topics: int = 5
     return d_local, d0, d_loc, row_tile
 
 
+def deferred_shard_layout(
+    shards: CorpusShards, block_size: int, num_topics: int = 512,
+) -> Optional[tuple[CorpusShards, dict]]:
+    """Per-shard ``DeferredPlan``s, uniformized and stacked (``stack_plans``).
+
+    Returns ``(new_shards, stacked)`` where ``new_shards`` carries the plans'
+    stripe-aligned token arrays (same local doc ids), or ``None`` when the
+    deferred path is not applicable.  The f32-exactness guard is per GLOBAL
+    word frequency — the psum of shard-local count tables must stay exact.
+    """
+    from ldagibbssampling_tpu.corpus.flat import PaddedCorpus
+    from ldagibbssampling_tpu.ops.count_kernel import plan_deferred, stack_plans
+    from ldagibbssampling_tpu.ops.gibbs import _pick_row_tile
+
+    row_tile = _pick_row_tile(block_size, num_topics)
+    if row_tile == 0:
+        return None
+    plans = []
+    global_freq = np.zeros(shards.vocab_size, np.int64)
+    for s in range(shards.num_shards):
+        real = shards.token_mask[s] > 0
+        tw, td = shards.token_word[s][real], shards.token_doc[s][real]
+        global_freq += np.bincount(tw, minlength=shards.vocab_size)
+        plans.append(plan_deferred(tw, td, shards.vocab_size, block_size))
+    if global_freq.size and int(global_freq.max()) >= (1 << 24):
+        return None  # psum'd cells would round in f32
+    stacked = stack_plans(plans)
+    new_shards = CorpusShards(
+        token_word=stacked["token_word"],
+        token_doc=stacked["token_doc"],
+        token_mask=stacked["token_mask"],
+        doc_lengths=shards.doc_lengths, doc_map=shards.doc_map,
+        num_shards=shards.num_shards, vocab_size=shards.vocab_size,
+        num_real_tokens=shards.num_real_tokens,
+    )
+    # uniform doc-slab layout on the new arrays
+    per = []
+    for s in range(new_shards.num_shards):
+        pcs = PaddedCorpus(
+            token_word=new_shards.token_word[s],
+            token_doc=new_shards.token_doc[s],
+            token_mask=new_shards.token_mask[s],
+            num_real_tokens=int(new_shards.token_mask[s].sum()),
+            vocab_size=new_shards.vocab_size,
+            num_docs=new_shards.docs_per_shard,
+        )
+        per.append(pcs.doc_slabs(block_size, d_loc_multiple=128))
+    d_loc = max(pl[2] for pl in per)
+    if any(pl[2] != d_loc for pl in per):
+        per = []
+        for s in range(new_shards.num_shards):
+            pcs = PaddedCorpus(
+                token_word=new_shards.token_word[s],
+                token_doc=new_shards.token_doc[s],
+                token_mask=new_shards.token_mask[s],
+                num_real_tokens=int(new_shards.token_mask[s].sum()),
+                vocab_size=new_shards.vocab_size,
+                num_docs=new_shards.docs_per_shard,
+            )
+            per.append(pcs.doc_slabs(block_size, d_loc_multiple=d_loc))
+    stacked["d_local"] = np.stack([pl[0] for pl in per])
+    stacked["d0"] = np.stack([pl[1] for pl in per])
+    stacked["d_loc"] = d_loc
+    stacked["row_tile"] = row_tile
+    return new_shards, stacked
+
+
 def make_sharded_sweep_fn(
     shards: CorpusShards,
     mesh: Mesh,
