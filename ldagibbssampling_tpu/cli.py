@@ -46,6 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--sampler", choices=["blocked", "serial"], default=None)
     ap.add_argument("--backend", choices=["gibbs", "cvb0", "svi", "smc", "warp"], default=None)
     ap.add_argument("--block-size", dest="block_size", type=int, default=None)
+    ap.add_argument("--pallas", dest="use_pallas",
+                    choices=["0", "1", "fused", "deferred"], default=None,
+                    help="kernel tier: 0 = pure-XLA sweep, 1 = v1 draw "
+                         "kernel, fused = v2 fused block kernel, deferred = "
+                         "v3 deferred-nwk (TPU default); unavailable tiers "
+                         "fall back one step with a logged warning")
     ap.add_argument("--draw-method", dest="draw_method",
                     choices=["gumbel", "inverse_cdf"], default=None)
     ap.add_argument("--mesh", default=None,
@@ -93,6 +99,10 @@ def config_from_args(args: argparse.Namespace) -> LdaConfig:
     overrides = {
         f: getattr(args, f) for f in _OVERRIDE_FIELDS if getattr(args, f) is not None
     }
+    if getattr(args, "use_pallas", None) is not None:
+        overrides["use_pallas"] = {
+            "0": False, "1": True, "fused": "fused", "deferred": "deferred",
+        }[args.use_pallas]
     if getattr(args, "mesh", None):
         overrides["mesh"] = {
             k.strip(): int(v)

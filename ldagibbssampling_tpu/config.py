@@ -36,10 +36,15 @@ class LdaConfig:
     sampler: str = "blocked"  # blocked | serial (Java-fidelity, CPU)
     # Kernel tier: False = pure-XLA sweep; True = v1 draw kernel (loses to
     # XLA: the pallas_call boundary re-materializes gathered tiles); "fused" =
-    # v2 fused block kernel — doc-slab/nk updates + PRNG in VMEM, measured
-    # 1.7x the XLA sweep at K=500 on TPU v5e. Non-TPU backends fall back to
-    # the XLA sweep automatically.
-    use_pallas: bool | str = "fused"
+    # v2 fused block kernel — doc-slab/nk updates + PRNG in VMEM; "deferred" =
+    # v3 (the TPU default): fused kernel + sweep-stale nwk snapshot + per-sweep
+    # MXU count rebuild — no per-block [V,K] scatter and no per-corpus token
+    # ceiling.  Every tier falls back one step (deferred → fused → XLA) with a
+    # logged warning when a platform/layout/exactness guard disallows it;
+    # non-TPU backends always run the XLA sweep.
+    use_pallas: bool | str = "deferred"
+    # run Mosaic kernels under the CPU interpreter (tests / CI without a TPU)
+    pallas_interpret: bool = False
     draw_method: str = "gumbel"  # gumbel (fast path) | inverse_cdf (fidelity draw)
     sort_blocks: bool = True  # word-sort tokens within blocks (sorted-scatter fast path)
     count_dtype: str = "int32"

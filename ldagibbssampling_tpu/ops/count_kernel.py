@@ -208,7 +208,7 @@ def plan_deferred(
     )
 
 
-def _count_kernel(stripe_ref, w_local_ref, z_ref, out_ref):
+def _count_kernel(stripe_ref, w_local_ref, z_ref, out_ref, nk_ref):
     tile = w_local_ref.shape[1]
     v_loc, k_pad = out_ref.shape
     i = pl.program_id(0)
@@ -222,6 +222,10 @@ def _count_kernel(stripe_ref, w_local_ref, z_ref, out_ref):
     @pl.when(first)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(i == 0)
+    def _():
+        nk_ref[:] = jnp.zeros_like(nk_ref)
 
     # LANE-major one-hots: token ids arrive as [8, tile] blocks (row 0 is the
     # data; the 8x row replication exists because an [N, 1] column array gets
@@ -237,6 +241,13 @@ def _count_kernel(stripe_ref, w_local_ref, z_ref, out_ref):
         oh_wT, oh_zT, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    # topic totals ride along: per-tile masked column counts of onehot_z
+    # (pads have w_local == -1).  Replaces a separate [V_pad, K] column-sum
+    # pass over the rebuilt table (measured 1.5 ms/sweep at V=50k on v5e).
+    real = (w_local_ref[0:1, :] >= 0).astype(jnp.float32)
+    nk_ref[0:1, :] += jnp.sum(
+        oh_zT.astype(jnp.float32) * real, axis=1
+    )[None, :]
 
 
 def replicate_rows(x2d: jax.Array) -> jax.Array:
@@ -259,8 +270,12 @@ def build_nwk(
     k_pad: int,
     tile: int,
     interpret: bool = False,
-) -> jax.Array:
-    """Rebuild the padded word-topic table ``[v_pad, k_pad]`` f32 from ``z``."""
+) -> tuple[jax.Array, jax.Array]:
+    """Rebuild the padded word-topic table from ``z``.
+
+    Returns ``(nwk [v_pad, k_pad] f32, nk [k_pad] f32)`` — the topic totals
+    are accumulated inside the same kernel pass (integer-exact below 2^24).
+    """
     nt = tile_stripe.shape[0]
     t2 = nt * tile
     if w_local8.shape != (nt * 8, tile) or v_pad % v_loc or z.shape[0] % _ALIGN:
@@ -279,16 +294,23 @@ def build_nwk(
             pl.BlockSpec((8, tile), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, tile), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (v_loc, k_pad), lambda i, s: (s[i], 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=[
+            pl.BlockSpec(
+                (v_loc, k_pad), lambda i, s: (s[i], 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((8, k_pad), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+        ],
     )
-    return pl.pallas_call(
+    nwk, nk = pl.pallas_call(
         _count_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((v_pad, k_pad), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((v_pad, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((8, k_pad), jnp.float32),
+        ],
         interpret=interpret,
     )(tile_stripe, w_local8, z8)
+    return nwk, nk[0]
 
 
 def stack_plans(plans: list["DeferredPlan"]) -> dict:

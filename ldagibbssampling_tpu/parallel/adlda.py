@@ -39,14 +39,27 @@ except AttributeError:  # pragma: no cover
 def _fused_shard_plan(shards: CorpusShards, block_size: int, num_topics: int = 512):
     """Host-side doc-slab layout per shard for the fused kernel.
 
-    Returns ``(d_local [P, T_s], d0 [P, nb], d_loc, row_tile)`` or ``None``
-    when the fused path is not applicable (no Mosaic-legal tile, or counts
-    would overflow the kernel's float32 tracking).
+    Returns ``(d_local [P, T_s], d0 [P, nb], d_loc, row_tile, slab_split)`` or
+    ``None`` when the fused path is not applicable (no Mosaic-legal tile, or
+    counts would overflow the kernel's float32 tracking).  The f32-exactness
+    guards are per-CELL bounds — word frequency for ``nwk`` rows (each shard's
+    working cell <= global count + local increments < 2·max_freq) and document
+    length for ``ndk`` — not round-2's per-corpus 2^24-token ceiling; the
+    kernel's f32 running ``nk`` is a sampling normalizer only (the runtime
+    recomputes exact totals from the reconciled int table each sweep).
     """
     from ldagibbssampling_tpu.corpus.flat import PaddedCorpus
     from ldagibbssampling_tpu.ops.gibbs import _pick_row_tile
 
-    if shards.num_real_tokens >= (1 << 24):
+    freq = np.zeros(max(shards.vocab_size, 1), np.int64)
+    for s in range(shards.num_shards):
+        real = shards.token_mask[s] > 0
+        freq += np.bincount(shards.token_word[s][real],
+                            minlength=shards.vocab_size)
+    if freq.size and int(freq.max()) >= (1 << 23):
+        return None  # working f32 cells could exceed 2^24 mid-sweep
+    max_doc_len = int(shards.doc_lengths.max()) if shards.doc_lengths.size else 0
+    if max_doc_len >= (1 << 24):
         return None
     row_tile = _pick_row_tile(block_size, num_topics)
     if row_tile == 0:
@@ -79,18 +92,19 @@ def _fused_shard_plan(shards: CorpusShards, block_size: int, num_topics: int = 5
             per.append(pcs.doc_slabs(block_size, d_loc_multiple=d_loc))
     d_local = np.stack([pl[0] for pl in per])
     d0 = np.stack([pl[1] for pl in per])
-    return d_local, d0, d_loc, row_tile
+    return d_local, d0, d_loc, row_tile, max_doc_len > 256
 
 
 def deferred_shard_layout(
     shards: CorpusShards, block_size: int, num_topics: int = 512,
-) -> Optional[tuple[CorpusShards, dict]]:
+) -> tuple[Optional[tuple[CorpusShards, dict]], Optional[str]]:
     """Per-shard ``DeferredPlan``s, uniformized and stacked (``stack_plans``).
 
-    Returns ``(new_shards, stacked)`` where ``new_shards`` carries the plans'
-    stripe-aligned token arrays (same local doc ids), or ``None`` when the
-    deferred path is not applicable.  The f32-exactness guard is per GLOBAL
-    word frequency — the psum of shard-local count tables must stay exact.
+    Returns ``((new_shards, stacked), None)`` where ``new_shards`` carries the
+    plans' stripe-aligned token arrays (same local doc ids), or ``(None,
+    reason)`` when the deferred path is not applicable.  The f32-exactness
+    guard is per GLOBAL word frequency — the psum of shard-local count tables
+    must stay exact.
     """
     from ldagibbssampling_tpu.corpus.flat import PaddedCorpus
     from ldagibbssampling_tpu.ops.count_kernel import plan_deferred, stack_plans
@@ -98,7 +112,7 @@ def deferred_shard_layout(
 
     row_tile = _pick_row_tile(block_size, num_topics)
     if row_tile == 0:
-        return None
+        return None, f"no Mosaic-legal row tile for block_size {block_size}"
     plans = []
     global_freq = np.zeros(shards.vocab_size, np.int64)
     for s in range(shards.num_shards):
@@ -107,7 +121,10 @@ def deferred_shard_layout(
         global_freq += np.bincount(tw, minlength=shards.vocab_size)
         plans.append(plan_deferred(tw, td, shards.vocab_size, block_size))
     if global_freq.size and int(global_freq.max()) >= (1 << 24):
-        return None  # psum'd cells would round in f32
+        return None, (
+            f"max global word frequency {int(global_freq.max())} >= 2^24 "
+            "would round the psum'd f32 count tables"
+        )
     stacked = stack_plans(plans)
     new_shards = CorpusShards(
         token_word=stacked["token_word"],
@@ -146,7 +163,10 @@ def deferred_shard_layout(
     stacked["d0"] = np.stack([pl[1] for pl in per])
     stacked["d_loc"] = d_loc
     stacked["row_tile"] = row_tile
-    return new_shards, stacked
+    stacked["slab_split"] = (
+        int(shards.doc_lengths.max()) > 256 if shards.doc_lengths.size else False
+    )
+    return (new_shards, stacked), None
 
 
 def make_sharded_sweep_fn(
@@ -163,18 +183,30 @@ def make_sharded_sweep_fn(
     use_pallas: bool | str = False,
     pallas_interpret: bool = False,
     num_topics: int = 512,
+    deferred_layout: Optional[dict] = None,
 ):
     """Build a jitted AD-LDA sweep: ``(z, ndk, nwk, nk, key, sweep) -> same``.
 
     ``z``/``ndk`` are sharded on ``axis`` (leading dim = shard); ``nwk``/``nk``
-    are replicated.  Runs ``num_sweeps`` full sweeps, reconciling ``nwk`` with
-    a psum of deltas after every sweep.
+    are replicated.  Runs ``num_sweeps`` full sweeps, reconciling ``nwk`` after
+    every sweep.
 
-    ``use_pallas="fused"`` runs each shard's local sweep through the fused
-    block kernel (``ops/gibbs.fused_gibbs_sweep``) — the same per-device
-    kernel as single-chip, with the psum reconciliation unchanged.  Falls back
-    to the XLA sweep off-TPU or when no Mosaic-legal layout exists.
+    Kernel tiers (the returned fn carries the effective one as
+    ``run.kernel_tier``):
+
+    - ``deferred_layout`` (from :func:`deferred_shard_layout`; ``shards`` must
+      be the layout's stripe-aligned ``new_shards``): each shard runs the
+      deferred-``nwk`` sweep (``ops/gibbs.deferred_local_counts``) and the
+      global table is reconciled as ``nwk = psum(local_counts, 'data')`` —
+      global counts are the sum of shard-local count tables, no delta
+      bookkeeping.  The fastest tier and the only one without a per-shard
+      token ceiling.
+    - ``use_pallas="fused"``: each shard's local sweep through the fused block
+      kernel, psum of deltas unchanged.
+    - otherwise: the pure-XLA blocked sweep.
     """
+    from ldagibbssampling_tpu.ops.gibbs import warn_tier_downgrade
+
     # Token arrays are passed as device-committed ARGUMENTS, not closures:
     # under shard_map, closure-captured arrays lower to HLO constants that
     # (on remote-execution platforms) are re-shipped on every call — measured
@@ -186,15 +218,45 @@ def make_sharded_sweep_fn(
     dl = jax.device_put(jnp.asarray(shards.doc_lengths), shard_sh)
 
     if use_pallas and jax.default_backend() != "tpu" and not pallas_interpret:
+        warn_tier_downgrade(
+            use_pallas, False, f"platform is {jax.default_backend()!r}, not tpu")
         use_pallas = False
+        deferred_layout = None
+
+    if deferred_layout is not None:
+        return _make_deferred_sharded_sweep_fn(
+            shards, mesh, deferred_layout,
+            alpha=alpha, beta=beta, num_sweeps=num_sweeps, axis=axis,
+            pallas_interpret=pallas_interpret,
+            tw=tw, tm=tm, shard_sh=shard_sh,
+        )
+
     plan = None
+    if use_pallas == "deferred":
+        # mesh callers build the layout in their constructor (the token
+        # arrays and z must be re-laid out together); reaching here means
+        # they didn't — run the next tier down
+        warn_tier_downgrade(
+            "deferred", "fused",
+            "no deferred_layout supplied (see deferred_shard_layout)")
+        use_pallas = "fused"
     if use_pallas == "fused" and draw_method == "gumbel" and block_size >= 128:
         plan = _fused_shard_plan(shards, block_size, num_topics)
+        if plan is None:
+            warn_tier_downgrade(
+                "fused", False,
+                "no fused shard plan (f32 cell-exactness guard or no "
+                "Mosaic-legal tile)")
+    elif use_pallas == "fused":
+        warn_tier_downgrade(
+            "fused", False,
+            f"draw_method {draw_method!r} / block_size {block_size} "
+            "unsupported by the fused kernel")
 
     if plan is not None:
         from ldagibbssampling_tpu.ops.gibbs import fused_gibbs_sweep
 
-        d_local, d0, d_loc, row_tile = plan
+        d_local, d0, d_loc, row_tile, slab_split = plan
         tdl = jax.device_put(jnp.asarray(d_local), shard_sh)
         jd0 = jax.device_put(jnp.asarray(d0), shard_sh)
         noise_mode = "external" if pallas_interpret else "internal"
@@ -217,13 +279,20 @@ def make_sharded_sweep_fn(
                     alpha=alpha_t, beta=beta_t, block_size=block_size,
                     d_loc=d_loc, row_tile=row_tile, sorted_words=sorted_words,
                     noise_mode=noise_mode, pallas_interpret=pallas_interpret,
+                    slab_split=slab_split,
                 )
-            else:
-                new = gibbs_sweep(
-                    state, tw, td, tm, dl,
-                    alpha=alpha_t, beta=beta_t, block_size=block_size,
-                    draw_method=draw_method, sorted_words=sorted_words,
-                )
+                # AD-LDA reconciliation: one psum of the word-topic deltas.
+                # Topic totals are recomputed from the reconciled int table —
+                # the kernel's running f32 nk is a sampling normalizer only
+                # (can round above 2^24; the table cells cannot, guarded).
+                nwk2 = nwk + lax.psum(new.nwk - nwk, axis)
+                nk2 = jnp.sum(nwk2, axis=0)
+                return new.z, new.ndk, nwk2, nk2, new.sweep
+            new = gibbs_sweep(
+                state, tw, td, tm, dl,
+                alpha=alpha_t, beta=beta_t, block_size=block_size,
+                draw_method=draw_method, sorted_words=sorted_words,
+            )
             # AD-LDA reconciliation: one psum of the word-topic deltas
             dnwk = lax.psum(new.nwk - nwk, axis)
             dnk = lax.psum(new.nk - nk, axis)
@@ -264,6 +333,99 @@ def make_sharded_sweep_fn(
         return run_impl(tw, td, tm, dl, tdl, jd0, z, ndk, nwk, nk, key, sweep,
                         n, a, b)
 
+    run.kernel_tier = "fused" if plan is not None else "xla"
+    return run
+
+
+def _make_deferred_sharded_sweep_fn(
+    shards: CorpusShards,
+    mesh: Mesh,
+    layout: dict,
+    *,
+    alpha: float,
+    beta: float,
+    num_sweeps: int,
+    axis: str,
+    pallas_interpret: bool,
+    tw, tm, shard_sh,
+):
+    """The deferred-``nwk`` AD-LDA sweep (see ``make_sharded_sweep_fn``).
+
+    Per sweep, each shard samples against its sweep-stale replica snapshot,
+    rebuilds its LOCAL word-topic count table on the MXU
+    (``ops/count_kernel.build_nwk``) and the global table is one psum of the
+    local tables over the data axis — the reconciliation contract specified in
+    ``ops/gibbs.deferred_local_counts``.  Exactness: every psum'd f32 cell is
+    bounded by the global word frequency (< 2^24, guarded by
+    ``deferred_shard_layout``); topic totals are an int32 column sum of the
+    reconciled table.
+    """
+    from ldagibbssampling_tpu.ops.count_kernel import replicate_rows
+    from ldagibbssampling_tpu.ops.gibbs import deferred_local_counts
+
+    p = shards.num_shards
+    nt, tile = layout["num_tiles"], layout["tile"]
+    block_size = layout["block_size"]
+    d_loc, row_tile = layout["d_loc"], layout["row_tile"]
+    v_loc, v_pad = layout["v_loc"], layout["v_pad"]
+    slab_split = layout["slab_split"]
+    noise_mode = "external" if pallas_interpret else "internal"
+
+    tdl = jax.device_put(jnp.asarray(layout["d_local"]), shard_sh)
+    jd0 = jax.device_put(jnp.asarray(layout["d0"]), shard_sh)
+    jrg = jax.device_put(jnp.asarray(layout["row_gather_idx"]), shard_sh)
+    jwl = jax.device_put(
+        jnp.asarray(layout["w_local"].reshape(p, nt, tile)), shard_sh)
+    jts = jax.device_put(jnp.asarray(layout["tile_stripe"]), shard_sh)
+
+    def local_sweeps(tw, tm, tdl, jd0, jrg, jwl, jts, z, ndk, nwk, nk,
+                     key, sweep, n_sweeps, alpha_t, beta_t):
+        tw, tm, tdl = tw[0], tm[0], tdl[0]
+        d0_, rg_, ts_ = jd0[0], jrg[0], jts[0]
+        wl8 = replicate_rows(jwl[0])  # lane-major layout, built on device
+        shard_key = jax.random.fold_in(key, lax.axis_index(axis))
+
+        def one_sweep(_, carry):
+            z, ndk, nwk, nk, sweep = carry
+            state = SamplerState(z=z, ndk=ndk, nwk=nwk, nk=nk,
+                                 key=shard_key, sweep=sweep)
+            z2, ndk2, local_counts, _ = deferred_local_counts(
+                state, tw, tdl, tm, d0_, rg_, wl8, ts_, alpha_t, beta_t,
+                block_size=block_size, d_loc=d_loc, row_tile=row_tile,
+                noise_mode=noise_mode, pallas_interpret=pallas_interpret,
+                vocab_size=None, v_loc=v_loc, v_pad=v_pad, tile=tile,
+                slab_split=slab_split,
+            )
+            # global counts = sum of shard-local tables (one psum, no deltas)
+            nwk2 = lax.psum(local_counts, axis).astype(nwk.dtype)
+            nk2 = jnp.sum(nwk2, axis=0)
+            return z2, ndk2, nwk2, nk2, sweep + 1
+
+        z, ndk, nwk, nk, sweep = lax.fori_loop(
+            0, n_sweeps, one_sweep, (z[0], ndk[0], nwk, nk, sweep)
+        )
+        return z[None], ndk[None], nwk, nk, sweep
+
+    sharded = P(axis)
+    repl = P()
+    fn = shard_map(
+        local_sweeps,
+        mesh=mesh,
+        in_specs=(sharded,) * 7 + (sharded, sharded, repl, repl, repl, repl,
+                                   repl, repl, repl),
+        out_specs=(sharded, sharded, repl, repl, repl),
+        check_vma=False,
+    )
+    run_impl = jax.jit(fn)
+
+    def run(z, ndk, nwk, nk, key, sweep, n_sweeps=None, alpha_v=None, beta_v=None):
+        n = jnp.int32(num_sweeps if n_sweeps is None else n_sweeps)
+        a = jnp.float32(alpha if alpha_v is None else alpha_v)
+        b = jnp.float32(beta if beta_v is None else beta_v)
+        return run_impl(tw, tm, tdl, jd0, jrg, jwl, jts, z, ndk, nwk, nk,
+                        key, sweep, n, a, b)
+
+    run.kernel_tier = "deferred"
     return run
 
 
@@ -292,7 +454,44 @@ class ShardedLda:
         # block size never exceeds a shard's token stream
         block = min(block, self.shards.tokens_per_shard)
         self.block_size = block
-        self._sorted = bool(getattr(config, "sort_blocks", False)) and block > 1
+
+        # Resolve the kernel tier BEFORE state init: the deferred tier re-lays
+        # out the token stream (stripe-aligned blocks), so z/ndk/nwk must be
+        # initialized on the layout's arrays.
+        from ldagibbssampling_tpu.ops.gibbs import warn_tier_downgrade
+
+        use_pallas = getattr(config, "use_pallas", False)
+        interpret = bool(getattr(config, "pallas_interpret", False))
+        self._interpret = interpret
+        if use_pallas in ("fused", "deferred") and config.draw_method != "gumbel":
+            warn_tier_downgrade(
+                use_pallas, False,
+                f"draw_method {config.draw_method!r} needs the XLA sweep")
+            use_pallas = False
+        if use_pallas and jax.default_backend() != "tpu" and not interpret:
+            warn_tier_downgrade(
+                use_pallas, False,
+                f"platform is {jax.default_backend()!r}, not tpu")
+            use_pallas = False
+        if use_pallas in ("fused", "deferred") and block < 128:
+            warn_tier_downgrade(
+                use_pallas, False, f"block_size {block} < 128 (no Mosaic tile)")
+            use_pallas = False
+        self._dlayout = None
+        if use_pallas == "deferred":
+            layout, reason = deferred_shard_layout(
+                self.shards, block, config.topic_num)
+            if layout is None:
+                warn_tier_downgrade("deferred", "fused", reason)
+                use_pallas = "fused"
+            else:
+                self.shards, self._dlayout = layout
+        self._use_pallas = use_pallas
+
+        self._sorted = (
+            bool(getattr(config, "sort_blocks", False))
+            and block > 1 and self._dlayout is None
+        )
         if self._sorted:
             from ldagibbssampling_tpu.parallel.sharding import sort_blocks_inplace
 
@@ -332,9 +531,12 @@ class ShardedLda:
             alpha=config.alpha, beta=config.beta, block_size=block,
             draw_method=config.draw_method, num_sweeps=1, axis=axis,
             sorted_words=self._sorted,
-            use_pallas=getattr(config, "use_pallas", False),
+            use_pallas=self._use_pallas,
+            pallas_interpret=self._interpret,
             num_topics=config.topic_num,
+            deferred_layout=self._dlayout,
         )
+        self.kernel_tier = getattr(self._sweep_fn, "kernel_tier", "xla")
 
     # ------------------------------------------------------------------
     def sweep(self, n: int = 1) -> None:

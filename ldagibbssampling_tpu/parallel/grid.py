@@ -175,16 +175,34 @@ def shard_corpus_grid(
     )
 
 
+def _grid_word_freq(shards: GridShards, v_slab: int) -> np.ndarray:
+    """Global per-word frequencies as ``[Pv, v_slab]`` (local-id indexed)."""
+    freq = np.zeros((shards.p_vocab, max(v_slab, 1)), np.int64)
+    for i in range(shards.p_data):
+        for j in range(shards.p_vocab):
+            real = shards.token_mask[i, j] > 0
+            freq[j] += np.bincount(
+                shards.token_word[i, j][real], minlength=max(v_slab, 1))
+    return freq
+
+
 def _fused_grid_plan(shards: GridShards, block_size: int, num_topics: int = 512):
     """Per-cell doc-slab layout for the fused kernel (uniform d_loc/row_tile).
 
-    Returns ``(d_local [Pd, Pv, T_c], d0 [Pd, Pv, nb], d_loc, row_tile)`` or
-    ``None`` when the fused path is not applicable.
+    Returns ``(d_local [Pd, Pv, T_c], d0 [Pd, Pv, nb], d_loc, row_tile,
+    slab_split)`` or ``None`` when the fused path is not applicable.  Guards
+    are per-CELL f32-exactness bounds (word frequency, doc length), not
+    round-2's per-corpus 2^24-token ceiling; exact topic totals are
+    recomputed from the reconciled int tables each sweep.
     """
     from ldagibbssampling_tpu.corpus.flat import PaddedCorpus
     from ldagibbssampling_tpu.ops.gibbs import _pick_row_tile
 
-    if shards.num_real_tokens >= (1 << 24):
+    freq = _grid_word_freq(shards, shards.vocab_per_shard)
+    if freq.size and int(freq.max()) >= (1 << 23):
+        return None  # working f32 cells could exceed 2^24 mid-sweep
+    max_doc_len = int(shards.doc_lengths.max()) if shards.doc_lengths.size else 0
+    if max_doc_len >= (1 << 24):
         return None
     row_tile = _pick_row_tile(block_size, num_topics)
     if row_tile == 0:
@@ -216,7 +234,95 @@ def _fused_grid_plan(shards: GridShards, block_size: int, num_topics: int = 512)
             row.append(d0_c)
         row = np.stack(row)
         d0 = row[None] if d0 is None else np.concatenate([d0, row[None]])
-    return d_local, d0, d_loc, row_tile
+    return d_local, d0, d_loc, row_tile, max_doc_len > 256
+
+
+def deferred_grid_layout(
+    shards: GridShards, block_size: int, num_topics: int = 512,
+    v_slab: int = 0,
+) -> tuple[Optional[tuple[GridShards, dict]], Optional[str]]:
+    """Per-cell ``DeferredPlan``s for the 2D grid, stacked ``[Pd, Pv, ...]``.
+
+    Same contract as ``adlda.deferred_shard_layout``: returns
+    ``((new_shards, layout), None)`` with the plans' stripe-aligned token
+    arrays (word ids stay LOCAL to the cell's vocab slab), or ``(None,
+    reason)``.  Per-cell rebuilds cover the cell's ``v_slab``-high slab; the
+    psum over 'data' of local slab tables is f32-exact while every GLOBAL
+    word frequency stays below 2^24.
+    """
+    from ldagibbssampling_tpu.corpus.flat import PaddedCorpus
+    from ldagibbssampling_tpu.ops.count_kernel import plan_deferred, stack_plans
+    from ldagibbssampling_tpu.ops.gibbs import _pick_row_tile
+
+    row_tile = _pick_row_tile(block_size, num_topics)
+    if row_tile == 0:
+        return None, f"no Mosaic-legal row tile for block_size {block_size}"
+    v_slab = v_slab or shards.vocab_per_shard
+    freq = _grid_word_freq(shards, v_slab)
+    if freq.size and int(freq.max()) >= (1 << 24):
+        return None, (
+            f"max global word frequency {int(freq.max())} >= 2^24 "
+            "would round the psum'd f32 count tables"
+        )
+    plans = []
+    for i in range(shards.p_data):
+        for j in range(shards.p_vocab):
+            real = shards.token_mask[i, j] > 0
+            plans.append(plan_deferred(
+                shards.token_word[i, j][real], shards.token_doc[i, j][real],
+                v_slab, block_size,
+            ))
+    stacked = stack_plans(plans)
+    pd, pv = shards.p_data, shards.p_vocab
+
+    def grid3(name):
+        a = stacked[name]
+        return a.reshape((pd, pv) + a.shape[1:])
+
+    new_shards = GridShards(
+        token_word=grid3("token_word"), token_doc=grid3("token_doc"),
+        token_mask=grid3("token_mask"),
+        doc_lengths=shards.doc_lengths, doc_map=shards.doc_map,
+        vocab_bounds=shards.vocab_bounds,
+        p_data=pd, p_vocab=pv, vocab_size=shards.vocab_size,
+        num_real_tokens=shards.num_real_tokens,
+    )
+    # uniform doc-slab layout on the new arrays
+    def cell(i, j, mult):
+        pcs = PaddedCorpus(
+            token_word=new_shards.token_word[i, j],
+            token_doc=new_shards.token_doc[i, j],
+            token_mask=new_shards.token_mask[i, j],
+            num_real_tokens=int(new_shards.token_mask[i, j].sum()),
+            vocab_size=v_slab, num_docs=new_shards.docs_per_shard,
+        )
+        return pcs.doc_slabs(block_size, d_loc_multiple=mult)
+
+    d_loc = max(cell(i, j, 128)[2] for i in range(pd) for j in range(pv))
+    d_local = np.zeros(new_shards.token_doc.shape, np.int32)
+    d0_rows = []
+    for i in range(pd):
+        row = []
+        for j in range(pv):
+            dl_c, d0_c, _ = cell(i, j, d_loc)
+            d_local[i, j] = dl_c
+            row.append(d0_c)
+        d0_rows.append(np.stack(row))
+    layout = {
+        "row_gather_idx": grid3("row_gather_idx"),
+        "w_local": grid3("w_local"),
+        "tile_stripe": grid3("tile_stripe"),
+        "v_loc": stacked["v_loc"], "v_pad": stacked["v_pad"],
+        "tile": stacked["tile"], "block_size": stacked["block_size"],
+        "num_tiles": stacked["num_tiles"],
+        "d_local": d_local, "d0": np.stack(d0_rows), "d_loc": d_loc,
+        "row_tile": row_tile,
+        "slab_split": (
+            int(shards.doc_lengths.max()) > 256
+            if shards.doc_lengths.size else False
+        ),
+    }
+    return (new_shards, layout), None
 
 
 def make_grid_sweep_fn(
@@ -232,6 +338,7 @@ def make_grid_sweep_fn(
     use_pallas: bool | str = False,
     pallas_interpret: bool = False,
     num_topics: int = 512,
+    deferred_layout: Optional[dict] = None,
 ):
     """Jitted grid sweep ``(z, ndk, nwk, nk, key, sweep) -> same``.
 
@@ -241,7 +348,15 @@ def make_grid_sweep_fn(
     smoothing mass, so ``vocab_size`` (not the slab height) fixes ``Vβ`` —
     ``gibbs_sweep`` derives V from the table, hence slabs are padded and the
     β-term corrected via the ``vbeta_override`` contract below.
+
+    With ``deferred_layout`` (from :func:`deferred_grid_layout`; ``shards``
+    must be its ``new_shards``) each cell runs the deferred-``nwk`` sweep and
+    its slab is reconciled as ``psum(local_counts, 'data')`` — stripe-local
+    MXU rebuild per vocab slab, no per-block scatter and no token ceiling.
+    The returned fn carries the effective tier as ``run.kernel_tier``.
     """
+    from ldagibbssampling_tpu.ops.gibbs import warn_tier_downgrade
+
     # device-committed ARGUMENTS, not closures (closure constants are
     # re-shipped per call under shard_map on remote platforms; see adlda.py)
     grid_sh = NamedSharding(mesh, P("data", "vocab"))
@@ -253,14 +368,41 @@ def make_grid_sweep_fn(
     v_global = shards.vocab_size
 
     if use_pallas and jax.default_backend() != "tpu" and not pallas_interpret:
+        warn_tier_downgrade(
+            use_pallas, False, f"platform is {jax.default_backend()!r}, not tpu")
         use_pallas = False
+        deferred_layout = None
+
+    if deferred_layout is not None:
+        return _make_deferred_grid_sweep_fn(
+            shards, mesh, deferred_layout,
+            alpha=alpha, beta=beta, num_sweeps=num_sweeps,
+            pallas_interpret=pallas_interpret,
+            tw=tw, tm=tm, grid_sh=grid_sh, v_global=v_global,
+        )
+
     plan = None
+    if use_pallas == "deferred":
+        warn_tier_downgrade(
+            "deferred", "fused",
+            "no deferred_layout supplied (see deferred_grid_layout)")
+        use_pallas = "fused"
     if use_pallas == "fused" and draw_method == "gumbel" and block_size >= 128:
         plan = _fused_grid_plan(shards, block_size, num_topics)
+        if plan is None:
+            warn_tier_downgrade(
+                "fused", False,
+                "no fused grid plan (f32 cell-exactness guard or no "
+                "Mosaic-legal tile)")
+    elif use_pallas == "fused":
+        warn_tier_downgrade(
+            "fused", False,
+            f"draw_method {draw_method!r} / block_size {block_size} "
+            "unsupported by the fused kernel")
     if plan is not None:
         from ldagibbssampling_tpu.ops.gibbs import fused_gibbs_sweep
 
-        d_local, d0, d_loc, row_tile = plan
+        d_local, d0, d_loc, row_tile, slab_split = plan
         tdl = jax.device_put(jnp.asarray(d_local), grid_sh)
         jd0 = jax.device_put(jnp.asarray(d0), grid_sh)
         noise_mode = "external" if pallas_interpret else "internal"
@@ -289,15 +431,20 @@ def make_grid_sweep_fn(
                     alpha=alpha_t, beta=beta_t, block_size=block_size,
                     d_loc=d_loc, row_tile=row_tile, sorted_words=sorted_words,
                     noise_mode=noise_mode, pallas_interpret=pallas_interpret,
-                    vocab_size=v_global,
+                    vocab_size=v_global, slab_split=slab_split,
                 )
-            else:
-                new = gibbs_sweep(
-                    state, tw, td, tm, dl,
-                    alpha=alpha_t, beta=beta_t, block_size=block_size,
-                    draw_method=draw_method, vocab_size=v_global,
-                    sorted_words=sorted_words,
-                )
+                # deltas reconcile as usual; exact topic totals come from the
+                # reconciled int slabs (kernel's f32 nk is a normalizer only)
+                nwk2 = nwk + lax.psum(new.nwk - nwk, "data")
+                ndk2 = ndk + lax.psum(new.ndk - ndk, "vocab")
+                nk2 = lax.psum(jnp.sum(nwk2, axis=0), "vocab")
+                return new.z, ndk2, nwk2, nk2, new.sweep
+            new = gibbs_sweep(
+                state, tw, td, tm, dl,
+                alpha=alpha_t, beta=beta_t, block_size=block_size,
+                draw_method=draw_method, vocab_size=v_global,
+                sorted_words=sorted_words,
+            )
             dnwk = lax.psum(new.nwk - nwk, "data")
             dndk = lax.psum(new.ndk - ndk, "vocab")
             dnk = lax.psum(new.nk - nk, ("data", "vocab"))
@@ -333,6 +480,93 @@ def make_grid_sweep_fn(
         return run_impl(tw, td, tm, dl, tdl, jd0, z, ndk, nwk, nk, key, sweep,
                         n, a, b)
 
+    run.kernel_tier = "fused" if plan is not None else "xla"
+    return run
+
+
+def _make_deferred_grid_sweep_fn(
+    shards: GridShards,
+    mesh: Mesh,
+    layout: dict,
+    *,
+    alpha: float,
+    beta: float,
+    num_sweeps: int,
+    pallas_interpret: bool,
+    tw, tm, grid_sh, v_global: int,
+):
+    """Deferred-``nwk`` grid sweep (see ``make_grid_sweep_fn``)."""
+    from ldagibbssampling_tpu.ops.count_kernel import replicate_rows
+    from ldagibbssampling_tpu.ops.gibbs import deferred_local_counts
+
+    pd, pv = shards.p_data, shards.p_vocab
+    nt, tile = layout["num_tiles"], layout["tile"]
+    block_size = layout["block_size"]
+    d_loc, row_tile = layout["d_loc"], layout["row_tile"]
+    v_loc, v_pad = layout["v_loc"], layout["v_pad"]
+    slab_split = layout["slab_split"]
+    noise_mode = "external" if pallas_interpret else "internal"
+
+    tdl = jax.device_put(jnp.asarray(layout["d_local"]), grid_sh)
+    jd0 = jax.device_put(jnp.asarray(layout["d0"]), grid_sh)
+    jrg = jax.device_put(jnp.asarray(layout["row_gather_idx"]), grid_sh)
+    jwl = jax.device_put(
+        jnp.asarray(layout["w_local"].reshape(pd, pv, nt, tile)), grid_sh)
+    jts = jax.device_put(jnp.asarray(layout["tile_stripe"]), grid_sh)
+
+    def local_sweeps(tw, tm, tdl, jd0, jrg, jwl, jts, z, ndk, nwk, nk,
+                     key, sweep, n_sweeps, alpha_t, beta_t):
+        tw, tm, tdl = tw[0, 0], tm[0, 0], tdl[0, 0]
+        d0_, rg_, ts_ = jd0[0, 0], jrg[0, 0], jts[0, 0]
+        wl8 = replicate_rows(jwl[0, 0])
+        i = lax.axis_index("data")
+        j = lax.axis_index("vocab")
+        cell_key = jax.random.fold_in(
+            jax.random.fold_in(key, i), j + (1 << 16)
+        )
+
+        def one_sweep(_, carry):
+            z, ndk, nwk, nk, sweep = carry
+            state = SamplerState(z=z, ndk=ndk, nwk=nwk, nk=nk,
+                                 key=cell_key, sweep=sweep)
+            z2, ndk_cell, local_counts, _ = deferred_local_counts(
+                state, tw, tdl, tm, d0_, rg_, wl8, ts_, alpha_t, beta_t,
+                block_size=block_size, d_loc=d_loc, row_tile=row_tile,
+                noise_mode=noise_mode, pallas_interpret=pallas_interpret,
+                vocab_size=v_global, v_loc=v_loc, v_pad=v_pad, tile=tile,
+                slab_split=slab_split,
+            )
+            # slab counts = sum of the column's per-row local tables; doc
+            # counts reconcile across the row's vocab split as deltas
+            nwk2 = lax.psum(local_counts, "data").astype(nwk.dtype)
+            ndk2 = ndk + lax.psum(ndk_cell - ndk, "vocab")
+            nk2 = lax.psum(jnp.sum(nwk2, axis=0), "vocab")
+            return z2, ndk2, nwk2, nk2, sweep + 1
+
+        z, ndk, nwk, nk, sweep = lax.fori_loop(
+            0, n_sweeps, one_sweep, (z[0, 0], ndk[0], nwk[0], nk, sweep)
+        )
+        return z[None, None], ndk[None], nwk[None], nk, sweep
+
+    g = P("data", "vocab")
+    fn = shard_map(
+        local_sweeps,
+        mesh=mesh,
+        in_specs=(g, g, g, g, g, g, g,
+                  g, P("data"), P("vocab"), P(), P(), P(), P(), P(), P()),
+        out_specs=(g, P("data"), P("vocab"), P(), P()),
+        check_vma=False,
+    )
+    run_impl = jax.jit(fn)
+
+    def run(z, ndk, nwk, nk, key, sweep, n_sweeps=None, alpha_v=None, beta_v=None):
+        n = jnp.int32(num_sweeps if n_sweeps is None else n_sweeps)
+        a = jnp.float32(alpha if alpha_v is None else alpha_v)
+        b = jnp.float32(beta if beta_v is None else beta_v)
+        return run_impl(tw, tm, tdl, jd0, jrg, jwl, jts, z, ndk, nwk, nk,
+                        key, sweep, n, a, b)
+
+    run.kernel_tier = "deferred"
     return run
 
 
@@ -362,14 +596,6 @@ class GridLda:
         self.shards = shard_corpus_grid(corpus, pd, pv, block_size=block)
         block = min(block, self.shards.tokens_per_cell)
         self.block_size = block
-        self._sorted = bool(getattr(config, "sort_blocks", False)) and block > 1
-        if self._sorted:
-            from ldagibbssampling_tpu.parallel.sharding import sort_blocks_inplace
-
-            sort_blocks_inplace(
-                self.shards.token_word, self.shards.token_doc,
-                self.shards.token_mask, block_size=block,
-            )
 
         k = config.topic_num
         v_s = max(
@@ -377,6 +603,50 @@ class GridLda:
             ((self.shards.vocab_per_shard + 127) // 128) * 128,
         )  # lane-aligned slab height
         self._v_s = v_s
+
+        # kernel-tier resolution BEFORE state init (the deferred tier re-lays
+        # out each cell's token stream — see parallel/adlda.py)
+        from ldagibbssampling_tpu.ops.gibbs import warn_tier_downgrade
+
+        use_pallas = getattr(config, "use_pallas", False)
+        interpret = bool(getattr(config, "pallas_interpret", False))
+        self._interpret = interpret
+        if use_pallas in ("fused", "deferred") and config.draw_method != "gumbel":
+            warn_tier_downgrade(
+                use_pallas, False,
+                f"draw_method {config.draw_method!r} needs the XLA sweep")
+            use_pallas = False
+        if use_pallas and jax.default_backend() != "tpu" and not interpret:
+            warn_tier_downgrade(
+                use_pallas, False,
+                f"platform is {jax.default_backend()!r}, not tpu")
+            use_pallas = False
+        if use_pallas in ("fused", "deferred") and block < 128:
+            warn_tier_downgrade(
+                use_pallas, False, f"block_size {block} < 128 (no Mosaic tile)")
+            use_pallas = False
+        self._dlayout = None
+        if use_pallas == "deferred":
+            layout, reason = deferred_grid_layout(
+                self.shards, block, config.topic_num, v_slab=v_s)
+            if layout is None:
+                warn_tier_downgrade("deferred", "fused", reason)
+                use_pallas = "fused"
+            else:
+                self.shards, self._dlayout = layout
+        self._use_pallas = use_pallas
+
+        self._sorted = (
+            bool(getattr(config, "sort_blocks", False))
+            and block > 1 and self._dlayout is None
+        )
+        if self._sorted:
+            from ldagibbssampling_tpu.parallel.sharding import sort_blocks_inplace
+
+            sort_blocks_inplace(
+                self.shards.token_word, self.shards.token_doc,
+                self.shards.token_mask, block_size=block,
+            )
         root = jax.random.PRNGKey(config.seed)
         init_key, self._key = jax.random.split(root)
         z = np.asarray(
@@ -410,9 +680,12 @@ class GridLda:
             alpha=config.alpha, beta=config.beta, block_size=block,
             draw_method=config.draw_method, num_sweeps=1,
             sorted_words=self._sorted,
-            use_pallas=getattr(config, "use_pallas", False),
+            use_pallas=self._use_pallas,
+            pallas_interpret=self._interpret,
             num_topics=config.topic_num,
+            deferred_layout=self._dlayout,
         )
+        self.kernel_tier = getattr(self._sweep_fn, "kernel_tier", "xla")
 
     # ------------------------------------------------------------------
     def sweep(self, n: int = 1) -> None:

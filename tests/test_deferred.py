@@ -83,7 +83,7 @@ def test_build_nwk_exact():
     z = rng.integers(0, K, plan.num_tokens).astype(np.int32)
     nt = plan.tile_stripe.shape[0]
     wl8 = replicate_rows(jnp.asarray(plan.w_local.reshape(nt, plan.tile)))
-    out = build_nwk(
+    out, nk = build_nwk(
         jnp.asarray(z), jnp.asarray(plan.row_gather_idx),
         wl8, jnp.asarray(plan.tile_stripe),
         v_loc=plan.v_loc, v_pad=plan.v_pad, k_pad=128, tile=plan.tile,
@@ -95,6 +95,10 @@ def test_build_nwk_exact():
     np.add.at(ref, (plan.token_word[real], z[real]), 1)
     np.testing.assert_array_equal(out[:V, :K].astype(np.int64), ref)
     assert not out[V:].any() and not out[:, K:].any()
+    # ride-along topic totals match the table's column sums exactly
+    np.testing.assert_array_equal(
+        np.asarray(nk[:K]).astype(np.int64), ref.sum(axis=0))
+    assert not np.asarray(nk[K:]).any()
 
 
 # ---------------------------------------------------------------------------

@@ -281,21 +281,29 @@ def test_fused_sweep_seeded_determinism():
     np.testing.assert_array_equal(np.asarray(a.z), np.asarray(b.z))
 
 
-def test_fused_guard_rejects_giant_f32_unsafe_corpora(monkeypatch):
+def test_fused_guard_downgrades_giant_f32_unsafe_corpora(caplog):
     # the fused path tracks counts in f32 — exact only below 2^24 tokens;
-    # the guard must reject rather than silently lose counts (checked via a
-    # fake mask sum since 16M real tokens is too big for a unit test)
+    # the guard must downgrade LOUDLY to the exact XLA sweep rather than
+    # silently lose counts (checked via a fake mask sum since 16M real
+    # tokens is too big for a unit test)
+    import logging
+
     fc = _corpus()
     pc = fc.pad_to(BLOCK)
     big_mask = pc.token_mask.astype(np.int64) * (
         (1 << 24) // max(1, int(pc.token_mask.sum())) + 1
     )
-    with pytest.raises(ValueError, match="2\\^24"):
-        make_sweep_fn(
+    from ldagibbssampling_tpu.ops import gibbs as gibbs_mod
+
+    gibbs_mod._warned_downgrades.clear()
+    with caplog.at_level(logging.WARNING, logger="ldagibbssampling_tpu"):
+        run = make_sweep_fn(
             pc.token_word, pc.token_doc, big_mask, fc.doc_lengths(),
             alpha=0.5, beta=0.1, block_size=BLOCK,
             use_pallas="fused", pallas_interpret=True,
         )
+    assert run.kernel_tier == "xla"
+    assert any("downgrade" in r.message for r in caplog.records)
 
 
 def test_fused_awkward_block_single_tile():
