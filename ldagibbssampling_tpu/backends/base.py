@@ -60,9 +60,18 @@ def _mesh_backend(config: "LdaConfig", corpus: "FlatCorpus") -> InferenceBackend
         from ldagibbssampling_tpu.parallel.tokenshard import TokenShardedLda
 
         return TokenShardedLda(config, corpus, num_shards=spec["token"])
+    if axes == {"chain", "data"}:
+        from ldagibbssampling_tpu.parallel.chaingrid import ShardedChainModel
+
+        c = spec["chain"]
+        if config.chains > 1 and config.chains != c:
+            raise ValueError(
+                f"--chains {config.chains} conflicts with mesh chain={c}")
+        return ShardedChainModel(
+            config, corpus, num_chains=c, num_shards=spec["data"])
     raise ValueError(
         f"unsupported mesh axes {sorted(spec)}; expected {{data}}, "
-        "{data, vocab}, or {token}"
+        "{data, vocab}, {token}, or {chain, data}"
     )
 
 
@@ -70,7 +79,9 @@ def make_backend(config: "LdaConfig", corpus: "FlatCorpus") -> InferenceBackend:
     """Construct the backend selected by ``config.backend`` (and, for the
     blocked Gibbs sampler, the parallel runtime selected by ``config.mesh``)."""
     if config.backend == "gibbs":
-        if config.mesh and config.chains == 1 and config.sampler == "blocked":
+        if config.mesh and config.sampler == "blocked" and (
+            config.chains == 1 or "chain" in config.mesh
+        ):
             return _mesh_backend(config, corpus)
         if config.chains > 1 and config.sampler == "blocked":
             from ldagibbssampling_tpu.models.chains import MultiChainModel

@@ -124,13 +124,21 @@ def rung3(scale: float, sweeps: int = 10) -> dict:
     }
 
 
-def rung4(scale: float, sweeps: int = 240) -> dict:
+def rung4(scale: float, sweeps: int = 240, sweep_cap_factor: int = 8) -> dict:
     """Multi-chain R̂ on φ + Minka hyperparameter adaptation (Wikipedia rung).
 
-    BASELINE config 4 specifies "R-hat on φ": chains record φ draws after
-    burn-in (half the budget), topics are aligned across chains (label
-    switching), and the report is GATED — a diverged run raises instead of
-    publishing a silent 1.5 (round-2 verdict, weak #3).
+    BASELINE config 4 specifies "R-hat on φ": chains record φ draws, topics
+    are aligned across chains (label switching), and the report is GATED.
+    Round-3 verdict items: (a) the sweep budget SCALES with the corpus (the
+    round-2 claim held only at 1/5 the published scale); (b) recording uses
+    the O(C·K·V) running-moment accumulator, not stored ``[C,K,V]`` draws;
+    (c) a diverged run publishes a LOUD ``"gate": "FAILED"`` — never a silent
+    number, never a value measured at a smaller scale than claimed.
+
+    Recording runs in doubling windows: if the gate fails, the window so far
+    becomes extra burn-in and a fresh window of twice the length is recorded,
+    until the gate passes or the total budget reaches ``sweep_cap_factor``
+    times the scaled base budget.
     """
     from ldagibbssampling_tpu.models.chains import ChainSet
     from ldagibbssampling_tpu.models.hyper import optimize_alpha, optimize_beta
@@ -140,13 +148,38 @@ def rung4(scale: float, sweeps: int = 240) -> dict:
     corpus, _ = planted_topic_corpus(m, v, 10, mean_doc_len=80, seed=3)
     cfg = LdaConfig(topic_num=10, seed=0, block_size=8_192, chains=4)
     chains = ChainSet(cfg, corpus, num_chains=4)
-    burn, thin = sweeps // 2, 5
+    thin = 5
+    base = max(sweeps, int(sweeps * (m / 400.0) ** 0.5))
+    cap = sweep_cap_factor * base
+
+    burn = base // 2
     chains.sweep(burn, record_ll=True)
-    for _ in range((sweeps - burn) // thin):
-        chains.sweep(thin - 1)
-        chains.sweep(1, record_ll=True, record_phi=True)
+    total = burn
+    window = base - burn
+    history = []
+    rhat_phi = {"p99": float("nan"), "max": float("nan"),
+                "frac_gt_1_1": float("nan")}
+    while True:
+        chains.reset_phi_accumulator()
+        draws = max(4, (window // thin) // 2 * 2)  # even; >=2 per half
+        for di in range(draws):
+            chains.sweep(thin - 1)
+            chains.sweep(1, record_ll=True)
+            chains.record_phi(half=0 if di < draws // 2 else 1)
+        total += draws * thin
+        rhat_phi = chains.r_hat_phi()
+        history.append({"sweeps_total": total, "window_draws": draws,
+                        "r_hat_phi_p99": rhat_phi["p99"],
+                        "r_hat_phi_max": rhat_phi["max"]})
+        print(f"rung4: {total} sweeps, window {draws} draws -> "
+              f"R-hat(phi) p99 = {rhat_phi['p99']:.3f}",
+              file=sys.stderr, flush=True)
+        if rhat_phi["p99"] < 1.2 or total + 2 * draws * thin > cap:
+            break
+        window *= 2
+
+    converged = bool(rhat_phi["p99"] < 1.2)
     rhat_ll = chains.r_hat_ll()
-    rhat_phi = chains.r_hat_phi()
     s0 = chains.chain_state(0)
     import jax.numpy as jnp
 
@@ -154,15 +187,20 @@ def rung4(scale: float, sweeps: int = 240) -> dict:
     b = float(optimize_beta(s0.nwk, s0.nk, cfg.beta))
     out = {
         "rung": 4, "corpus": f"synthetic ({m} docs, V={v})", "K": 10,
-        "chains": 4, "sweeps": sweeps, "r_hat_ll": rhat_ll,
+        "chains": 4, "sweeps": total, "sweep_cap": cap,
+        "gate": "PASSED" if converged else "FAILED",
+        "r_hat_ll": rhat_ll,
         "r_hat_phi_max": rhat_phi["max"], "r_hat_phi_p99": rhat_phi["p99"],
         "r_hat_phi_frac_gt_1_1": rhat_phi["frac_gt_1_1"],
+        "r_hat_history": history,
         "alpha_opt": a, "beta_opt": b,
     }
-    if not (rhat_phi["p99"] < 1.2):
-        raise AssertionError(
-            f"rung 4 convergence gate failed: aligned R-hat(phi) p99 = "
-            f"{rhat_phi['p99']:.3f} (report withheld): {out}"
+    if not converged:
+        print(
+            "*** RUNG 4 CONVERGENCE GATE FAILED: aligned R-hat(phi) p99 = "
+            f"{rhat_phi['p99']:.3f} after {total} sweeps (cap {cap}) — "
+            "published as FAILED, not as a silent number ***",
+            file=sys.stderr, flush=True,
         )
     return out
 
@@ -209,15 +247,21 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default="ladder_report.json")
     args = ap.parse_args(argv)
 
-    report = {"scale": args.scale, "rungs": []}
+    report = {"scale": args.scale, "rungs": [], "gate_failures": []}
     for r in (int(x) for x in args.rungs.split(",") if x.strip()):
         t0 = time.perf_counter()
         res = RUNGS[r](args.scale)
         res["wall_s"] = time.perf_counter() - t0
         report["rungs"].append(res)
+        if res.get("gate") == "FAILED":
+            report["gate_failures"].append(r)
         print(json.dumps(res), flush=True)
     Path(args.out).write_text(json.dumps(report, indent=2))
     print(f"wrote {args.out}", file=sys.stderr)
+    if report["gate_failures"]:
+        print(f"GATE FAILURES on rungs {report['gate_failures']} — "
+              "see the report's r_hat entries", file=sys.stderr)
+        return 1
     return 0
 
 

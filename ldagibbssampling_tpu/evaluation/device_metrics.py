@@ -28,13 +28,16 @@ from jax import lax
 from ldagibbssampling_tpu.corpus.flat import FlatCorpus
 
 
-@functools.partial(jax.jit, static_argnames=("chunk_size",))
+@functools.partial(jax.jit, static_argnames=("chunk_size", "vocab_size"))
 def _ll_chunks(
-    ndk, nwk, nk, tw, td, tm, dl, alpha, beta, *, chunk_size: int
+    ndk, nwk, nk, tw, td, tm, dl, alpha, beta, *, chunk_size: int,
+    vocab_size=None,
 ) -> jax.Array:
     t = tw.shape[0]
     k = ndk.shape[1]
-    v = nwk.shape[0]
+    # vocab_size overrides V for the V·β smoothing mass when ``nwk`` is a
+    # vocab-sharded slab whose height is not the global vocabulary size
+    v = nwk.shape[0] if vocab_size is None else vocab_size
     alpha = jnp.float32(alpha)
     beta = jnp.float32(beta)
     vbeta = v * beta
@@ -87,6 +90,29 @@ def device_log_likelihood(
         alpha, beta, chunk_size=int(chunk_size),
     )
     return float(np.asarray(chunks, np.float64).sum())
+
+
+def shard_ll_chunks(
+    ndk, nwk, nk, tw, td, tm, dl, alpha, beta,
+    chunk_size: int = 1 << 19, vocab_size=None,
+) -> jax.Array:
+    """Shard-local chunked LL partials — the ``_ll_chunks`` body with static
+    padding, usable inside a ``shard_map`` (mesh runtimes' ``--ll-every``
+    fast path).  Returns the ``[n_chunks]`` f32 partial sums; callers stack
+    the per-shard vectors on the host and reduce in float64 (more accurate
+    than a device psum of f32 partials, and just as cheap — the vector is
+    O(T/chunk) scalars)."""
+    t = tw.shape[0]
+    chunk = int(min(chunk_size, max(t, 1)))
+    pad = (-t) % chunk
+    if pad:
+        tw = jnp.pad(tw, (0, pad))
+        td = jnp.pad(td, (0, pad))
+        tm = jnp.pad(tm, (0, pad))
+    return _ll_chunks(
+        ndk, nwk, nk, tw, td, tm, dl, alpha, beta,
+        chunk_size=chunk, vocab_size=vocab_size,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("n_sweeps",))

@@ -81,6 +81,7 @@ class ChainSet:
         self._run = run
         self.ll_trace: list[np.ndarray] = []   # per sweep: [num_chains]
         self.phi_trace: list[np.ndarray] = []  # per recorded draw: [num_chains, K, V]
+        self.phi_accum = None  # O(C·K·V) alternative to phi_trace (see record_phi)
 
     # ------------------------------------------------------------------
     def sweep(
@@ -104,6 +105,28 @@ class ChainSet:
                     [self.chain_phi_theta(c)[0] for c in range(self.num_chains)]
                 ))
 
+    def record_phi(self, half: int) -> None:
+        """Fold the CURRENT φ of every chain into the running split-R̂
+        accumulator (``evaluation/diagnostics.PhiRhatAccumulator``) — the
+        scalable replacement for ``sweep(record_phi=True)``'s stored
+        ``[C, K, V]`` snapshots (~1.6 GB/draw at Wikipedia-rung shape).
+        ``half`` routes the draw to split-half 0 or 1; the caller owns the
+        recording schedule (first half of the window → 0)."""
+        from ldagibbssampling_tpu.evaluation.diagnostics import (
+            PhiRhatAccumulator)
+
+        if self.phi_accum is None:
+            k = self.config.topic_num
+            v = self.corpus.vocab_size
+            self.phi_accum = PhiRhatAccumulator(self.num_chains, k, v)
+        phis = np.stack(
+            [self.chain_phi_theta(c)[0] for c in range(self.num_chains)])
+        self.phi_accum.add(phis, half)
+
+    def reset_phi_accumulator(self) -> None:
+        """Drop accumulated φ moments (e.g. to re-window after more burn-in)."""
+        self.phi_accum = None
+
     def chain_state(self, c: int) -> SamplerState:
         return jax.tree.map(lambda x: x[c], self.states)
 
@@ -124,16 +147,19 @@ class ChainSet:
     def r_hat_phi(self) -> dict:
         """Topic-aligned split-R̂ on φ (BASELINE config 4: "R-hat on φ").
 
-        Needs ≥4 recorded draws (``sweep(record_phi=True)``); chains are
-        aligned to chain 0 before comparison (label switching) — see
-        ``evaluation.diagnostics.r_hat_phi``.
+        Uses stored draws (``sweep(record_phi=True)``) when present, else the
+        running accumulator (``record_phi(half)``); chains are aligned to
+        chain 0 before comparison (label switching) — see
+        ``evaluation.diagnostics``.
         """
         from ldagibbssampling_tpu.evaluation.diagnostics import r_hat_phi
 
-        if len(self.phi_trace) < 4:
-            return {"max": float("nan"), "p99": float("nan"),
-                    "frac_gt_1_1": float("nan"), "n_cells": 0, "perms": []}
-        return r_hat_phi(np.stack(self.phi_trace, axis=1))
+        if len(self.phi_trace) >= 4:
+            return r_hat_phi(np.stack(self.phi_trace, axis=1))
+        if self.phi_accum is not None:
+            return self.phi_accum.result()
+        return {"max": float("nan"), "p99": float("nan"),
+                "frac_gt_1_1": float("nan"), "n_cells": 0, "perms": []}
 
     def mean_phi(self) -> np.ndarray:
         """Posterior-averaged φ across chains (label switching caveat: chains

@@ -59,10 +59,17 @@ class LdaModel:
                 # (ops/count_kernel.plan_deferred); slot i holds real token
                 # plan.perm[i] (-1 = padding)
                 from ldagibbssampling_tpu.ops.count_kernel import plan_deferred
+                from ldagibbssampling_tpu.ops.gibbs import warn_tier_downgrade
 
-                self._plan = plan_deferred(
-                    corpus.token_word, corpus.token_doc, corpus.vocab_size, block
-                )
+                try:
+                    self._plan = plan_deferred(
+                        corpus.token_word, corpus.token_doc,
+                        corpus.vocab_size, block,
+                    )
+                except ValueError as e:  # e.g. no multiple-of-8 tile
+                    warn_tier_downgrade("deferred", "fused", str(e))
+                    use_pallas = "fused"
+            if self._plan is not None:
                 from ldagibbssampling_tpu.corpus.flat import PaddedCorpus
 
                 pc = PaddedCorpus(

@@ -437,7 +437,7 @@ def _deferred_sweep_impl(
     v_loc: int,
     v_pad: int,
     tile: int,
-    mirror_dtype: str = "float32",
+    mirror_dtype: str = "bfloat16",
     slab_split: bool = True,
 ) -> SamplerState:
     """One sweep in deferred-``nwk`` mode (the TPU fast path since round 3).
@@ -498,7 +498,7 @@ def deferred_local_counts(
     v_loc: int,
     v_pad: int,
     tile: int,
-    mirror_dtype: str = "float32",
+    mirror_dtype: str = "bfloat16",
     slab_split: bool = True,
 ):
     """Deferred-mode sweep core: returns ``(z, ndk, local_counts_f32, nk_f32)``.
@@ -524,12 +524,13 @@ def deferred_local_counts(
 
     ndk_p = jnp.pad(state.ndk, ((0, m_pad - m), (0, k_pad - k))).astype(jnp.float32)
     nk_p = jnp.pad(state.nk, (0, k_pad - k)).astype(jnp.float32)[None, :]
-    # Sweep-stale read snapshot.  f32 by default: measured on v5e (T=1M,
-    # K=500) the XLA row gather is ROW-bound, not byte-bound, and the bf16
-    # row path is 2x SLOWER than f32 (17.0 vs 8.3 ms/sweep) — halving the
-    # bytes buys nothing and hits a slow 16-bit gather path.  bf16 remains
-    # selectable for V·K too big to mirror in f32 (its 2^-8 relative error is
-    # below the draw's approx-reciprocal noise; never touches exact counts).
+    # Sweep-stale read snapshot, bf16 by default.  Measured on v5e (T=1M,
+    # K=500): in ISOLATION the f32 row gather beats bf16 (8.3 vs 17.0 ms —
+    # row-bound, and the 16-bit path is slower per row), but inside the real
+    # loop the gather overlaps the compute-bound kernel and the bf16 mirror's
+    # halved HBM traffic wins (18.7 vs 19.6 ms/sweep) while also halving the
+    # snapshot's memory at rung-5 V·K.  bf16's 2^-8 relative error is below
+    # the draw's approx-reciprocal noise and never touches the exact counts.
     mirror = jnp.pad(state.nwk, ((0, 0), (0, k_pad - k))).astype(
         jnp.dtype(mirror_dtype))
 

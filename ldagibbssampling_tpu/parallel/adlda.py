@@ -119,7 +119,10 @@ def deferred_shard_layout(
         real = shards.token_mask[s] > 0
         tw, td = shards.token_word[s][real], shards.token_doc[s][real]
         global_freq += np.bincount(tw, minlength=shards.vocab_size)
-        plans.append(plan_deferred(tw, td, shards.vocab_size, block_size))
+        try:
+            plans.append(plan_deferred(tw, td, shards.vocab_size, block_size))
+        except ValueError as e:  # e.g. no multiple-of-8 tile for this block
+            return None, str(e)
     if global_freq.size and int(global_freq.max()) >= (1 << 24):
         return None, (
             f"max global word frequency {int(global_freq.max())} >= 2^24 "
@@ -573,6 +576,43 @@ class ShardedLda:
         self.alpha = float(fn(self.ndk, dl_sh))
         self.beta = float(optimize_beta(self.nwk, self.nk, self.beta, iters=iters))
         return self.alpha, self.beta
+
+    # ------------------------------------------------------------------
+    def device_log_likelihood(self) -> float:
+        """Training LL with shard-local chunked device passes (SURVEY.md §5
+        metrics row): each shard reduces its own token stream against its
+        exact ``ndk`` and the replicated ``nwk``/``nk`` in O(chunk·K) device
+        memory; the host sums the per-shard chunk partials in float64.  No
+        ``[T, K]`` host materialization — usable at rung-3+ token counts."""
+        if not hasattr(self, "_ll_fn"):
+            from ldagibbssampling_tpu.evaluation.device_metrics import (
+                shard_ll_chunks)
+
+            shard_sh = NamedSharding(self.mesh, P(self.axis))
+            tw = jax.device_put(jnp.asarray(self.shards.token_word), shard_sh)
+            td = jax.device_put(jnp.asarray(self.shards.token_doc), shard_sh)
+            tm = jax.device_put(jnp.asarray(self.shards.token_mask), shard_sh)
+            dl = jax.device_put(jnp.asarray(self.shards.doc_lengths), shard_sh)
+            axis = self.axis
+
+            def local(tw, td, tm, dl, ndk, nwk, nk, a, b):
+                chunks = shard_ll_chunks(
+                    ndk[0], nwk, nk, tw[0], td[0], tm[0], dl[0], a, b)
+                return chunks[None]
+
+            fn = shard_map(
+                local, mesh=self.mesh,
+                in_specs=(P(self.axis),) * 5 + (P(), P(), P(), P()),
+                out_specs=P(self.axis),
+                check_vma=False,
+            )
+            impl = jax.jit(fn)
+            self._ll_fn = lambda ndk, nwk, nk, a, b: impl(
+                tw, td, tm, dl, ndk, nwk, nk, a, b)
+        chunks = self._ll_fn(
+            self.ndk, self.nwk, self.nk,
+            jnp.float32(self.alpha), jnp.float32(self.beta))
+        return float(np.asarray(chunks, np.float64).sum())
 
     # ------------------------------------------------------------------
     def _ckpt_arrays(self) -> dict:

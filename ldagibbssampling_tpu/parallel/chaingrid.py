@@ -102,9 +102,13 @@ class ShardedChainSet:
         td = jax.device_put(jnp.asarray(self.shards.token_doc), tok)
         tm = jax.device_put(jnp.asarray(self.shards.token_mask), tok)
         dl = jax.device_put(jnp.asarray(self.shards.doc_lengths), tok)
-        alpha, beta = config.alpha, config.beta
+        self._dl_sharded = dl
+        # live hyperparameters (Minka moves them; sweeps trace them)
+        self.alpha = float(config.alpha)
+        self.beta = float(config.beta)
 
-        def local(tw, td, tm, dl, z, ndk, nwk, nk, key, sweep, n_sweeps):
+        def local(tw, td, tm, dl, z, ndk, nwk, nk, key, sweep, n_sweeps,
+                  alpha_t, beta_t):
             tw, td, tm, dl = tw[0], td[0], tm[0], dl[0]
             ci = lax.axis_index("chain")
             si = lax.axis_index("data")
@@ -116,7 +120,7 @@ class ShardedChainSet:
                                   key=cell_key, sweep=sweep)
                 new = gibbs_sweep(
                     st, tw, td, tm, dl,
-                    alpha=alpha, beta=beta, block_size=block,
+                    alpha=alpha_t, beta=beta_t, block_size=block,
                     draw_method=config.draw_method,
                 )
                 # AD-LDA reconciliation within the chain ONLY: psum over 'data'
@@ -133,16 +137,19 @@ class ShardedChainSet:
             local, mesh=mesh,
             in_specs=(P("data"), P("data"), P("data"), P("data"),
                       P("chain", "data"), P("chain", "data"),
-                      P("chain"), P("chain"), P(), P(), P()),
+                      P("chain"), P("chain"), P(), P(), P(), P(), P()),
             out_specs=(P("chain", "data"), P("chain", "data"),
                        P("chain"), P("chain"), P()),
             check_vma=False,
         )
         run_impl = jax.jit(fn)
 
-        def run(z, ndk, nwk, nk, key, sweep, n_sweeps=1):
+        def run(z, ndk, nwk, nk, key, sweep, n_sweeps=1, alpha_v=None,
+                beta_v=None):
+            a = jnp.float32(self.alpha if alpha_v is None else alpha_v)
+            b = jnp.float32(self.beta if beta_v is None else beta_v)
             return run_impl(tw, td, tm, dl, z, ndk, nwk, nk, key, sweep,
-                            jnp.int32(n_sweeps))
+                            jnp.int32(n_sweeps), a, b)
 
         self._sweep_fn = run
         self.ll_trace: list[np.ndarray] = []
@@ -173,12 +180,63 @@ class ShardedChainSet:
     def sweeps_done(self) -> int:
         return int(self.sweep_idx)
 
+    def optimize_hyperparameters(self, iters: int = 5) -> tuple[float, float]:
+        """Minka (α, β) on the ('chain','data') mesh: per-chain fixed points
+        (ndk digamma sums psum'd over 'data'; β from the chain's replicated
+        ``nwk``) are AVERAGED over the chain axis — all chains must target
+        the same posterior for split-R̂ to be meaningful, so they share one
+        (α, β) trajectory (BASELINE config 4)."""
+        from ldagibbssampling_tpu.models.hyper import (
+            optimize_beta, sharded_alpha_update)
+
+        a0, b0 = jnp.float32(self.alpha), jnp.float32(self.beta)
+
+        def body(nd, dlr, nwk, nk):
+            a = sharded_alpha_update(nd[0, 0], dlr[0], a0, "data", iters=iters)
+            b = optimize_beta(nwk[0], nk[0], b0, iters=iters)
+            return lax.pmean(a, "chain"), lax.pmean(b, "chain")
+
+        fn = jax.jit(shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P("chain", "data"), P("data"), P("chain"), P("chain")),
+            out_specs=(P(), P()),
+            check_vma=False,
+        ))
+        a, b = fn(self.ndk, self._dl_sharded, self.nwk, self.nk)
+        self.alpha, self.beta = float(a), float(b)
+        return self.alpha, self.beta
+
+    # ------------------------------------------------------------------
+    def _ckpt_arrays(self) -> dict:
+        return {"z": self.z, "ndk": self.ndk, "nwk": self.nwk, "nk": self.nk,
+                "key": self._key, "sweep": self.sweep_idx}
+
+    def save_checkpoint(self, directory) -> int:
+        """Orbax checkpoint of all chains (arrays keep their shardings)."""
+        from ldagibbssampling_tpu.lda_io.checkpoint import save_mesh_run
+
+        return save_mesh_run(directory, self._ckpt_arrays(), self.alpha,
+                             self.beta, int(self.sweep_idx))
+
+    def restore_checkpoint(self, directory) -> int:
+        """Resume from the latest checkpoint (same mesh topology)."""
+        from ldagibbssampling_tpu.lda_io.checkpoint import restore_mesh_run
+
+        arrays, self.alpha, self.beta = restore_mesh_run(
+            directory, self._ckpt_arrays())
+        self.z, self.ndk, self.nwk, self.nk = (
+            arrays["z"], arrays["ndk"], arrays["nwk"], arrays["nk"])
+        repl = NamedSharding(self.mesh, P())
+        self._key = jax.device_put(arrays["key"], repl)
+        self.sweep_idx = jax.device_put(arrays["sweep"], repl)
+        return int(self.sweep_idx)
+
     # ------------------------------------------------------------------
     def chain_phi(self, ci: int) -> np.ndarray:
         nwk = np.asarray(self.nwk)[ci]
         nk = np.asarray(self.nk)[ci]
         v = nwk.shape[0]
-        b = self.config.beta
+        b = self.beta
         return ((nwk + b) / (nk + v * b)).T
 
     def chain_theta(self, ci: int) -> np.ndarray:
@@ -191,8 +249,27 @@ class ShardedChainSet:
             for local, g in enumerate(self.shards.doc_map[s]):
                 if g >= 0:
                     out[g] = ndk[s, local]
-        a = self.config.alpha
+        a = self.alpha
         return (out + a) / (lengths[:, None] + k * a)
+
+    def chain_z(self, ci: int) -> np.ndarray:
+        """Chain ``ci``'s topic assignments in ORIGINAL corpus token order
+        (for ``.tassign`` export — the reference's output contract)."""
+        z = np.asarray(self.z)[ci]
+        mask = self.shards.token_mask.astype(bool)
+        doc_ptr = self.corpus.doc_ptr
+        out = np.empty(self.corpus.num_tokens, z.dtype)
+        for s in range(self.shards.num_shards):
+            pos = 0
+            zs, ms = z[s], mask[s]
+            for local, g in enumerate(self.shards.doc_map[s]):
+                if g < 0:
+                    continue
+                lo, hi = int(doc_ptr[g]), int(doc_ptr[g + 1])
+                n = hi - lo
+                out[lo:hi] = zs[pos:pos + n]
+                pos += n
+        return out
 
     def r_hat_ll(self) -> float:
         from ldagibbssampling_tpu.evaluation.diagnostics import r_hat
@@ -201,13 +278,29 @@ class ShardedChainSet:
             return float("nan")
         return r_hat(np.stack(self.ll_trace, axis=1))
 
+    def record_phi(self, half: int) -> None:
+        """Fold current per-chain φ into the running split-R̂ accumulator
+        (O(C·K·V) memory; see ``models/chains.ChainSet.record_phi``)."""
+        from ldagibbssampling_tpu.evaluation.diagnostics import (
+            PhiRhatAccumulator)
+
+        if getattr(self, "phi_accum", None) is None:
+            self.phi_accum = PhiRhatAccumulator(
+                self.num_chains, self.config.topic_num,
+                self.corpus.vocab_size)
+        phis = np.stack(
+            [self.chain_phi(ci) for ci in range(self.num_chains)])
+        self.phi_accum.add(phis, half)
+
     def r_hat_phi(self) -> dict:
         from ldagibbssampling_tpu.evaluation.diagnostics import r_hat_phi
 
-        if len(self.phi_trace) < 4:
-            return {"max": float("nan"), "p99": float("nan"),
-                    "frac_gt_1_1": float("nan"), "n_cells": 0, "perms": []}
-        return r_hat_phi(np.stack(self.phi_trace, axis=1))
+        if len(self.phi_trace) >= 4:
+            return r_hat_phi(np.stack(self.phi_trace, axis=1))
+        if getattr(self, "phi_accum", None) is not None:
+            return self.phi_accum.result()
+        return {"max": float("nan"), "p99": float("nan"),
+                "frac_gt_1_1": float("nan"), "n_cells": 0, "perms": []}
 
     # ------------------------------------------------------------------
     def check_counts_consistent(self) -> None:
@@ -229,3 +322,70 @@ class ShardedChainSet:
             np.testing.assert_array_equal(np.asarray(self.ndk)[ci], ndk_ref)
             np.testing.assert_array_equal(np.asarray(self.nk)[ci],
                                           nwk_ref.sum(axis=0))
+
+
+class ShardedChainModel:
+    """InferenceBackend adapter over :class:`ShardedChainSet` — the CLI's
+    ``--mesh chain=C,data=P`` runtime (BASELINE config 4: "multi-host,
+    4 chains" with each chain doc-sharded).
+
+    Artifacts (φ, θ, z) come from chain 0 (the reference's single-chain
+    output contract); all chains advance for the R̂ diagnostics, which the
+    runner logs when ``--metrics-file`` is set.  φ draws for R̂(φ) fold into
+    the O(C·K·V) running accumulator on a fixed half-alternating schedule.
+    """
+
+    def __init__(self, config: LdaConfig, corpus: FlatCorpus,
+                 num_chains: int = 2, num_shards: Optional[int] = None,
+                 mesh: Optional[Mesh] = None) -> None:
+        self.config = config
+        self.corpus = corpus
+        self.chains = ShardedChainSet(
+            config, corpus, num_chains=num_chains, num_shards=num_shards,
+            mesh=mesh)
+        self._phi_draws = 0
+
+    def sweep(self, n: int = 1) -> None:
+        self.chains.sweep(n, record_ll=True)
+        # alternate halves so the accumulator stays balanced at any horizon
+        self.chains.record_phi(half=self._phi_draws % 2)
+        self._phi_draws += 1
+
+    @property
+    def sweeps_done(self) -> int:
+        return self.chains.sweeps_done
+
+    @property
+    def alpha(self) -> float:
+        return self.chains.alpha
+
+    @property
+    def beta(self) -> float:
+        return self.chains.beta
+
+    def optimize_hyperparameters(self, iters: int = 5) -> tuple[float, float]:
+        return self.chains.optimize_hyperparameters(iters=iters)
+
+    def save_checkpoint(self, directory) -> int:
+        return self.chains.save_checkpoint(directory)
+
+    def restore_checkpoint(self, directory) -> int:
+        return self.chains.restore_checkpoint(directory)
+
+    def phi(self) -> np.ndarray:
+        return self.chains.chain_phi(0)
+
+    def theta(self) -> np.ndarray:
+        return self.chains.chain_theta(0)
+
+    def z(self) -> np.ndarray:
+        return self.chains.chain_z(0)
+
+    def r_hat(self) -> float:
+        return self.chains.r_hat_ll()
+
+    def r_hat_phi(self) -> dict:
+        return self.chains.r_hat_phi()
+
+    def check_counts_consistent(self) -> None:
+        self.chains.check_counts_consistent()

@@ -268,10 +268,14 @@ def deferred_grid_layout(
     for i in range(shards.p_data):
         for j in range(shards.p_vocab):
             real = shards.token_mask[i, j] > 0
-            plans.append(plan_deferred(
-                shards.token_word[i, j][real], shards.token_doc[i, j][real],
-                v_slab, block_size,
-            ))
+            try:
+                plans.append(plan_deferred(
+                    shards.token_word[i, j][real],
+                    shards.token_doc[i, j][real],
+                    v_slab, block_size,
+                ))
+            except ValueError as e:  # e.g. no multiple-of-8 tile
+                return None, str(e)
     stacked = stack_plans(plans)
     pd, pv = shards.p_data, shards.p_vocab
 
@@ -729,6 +733,47 @@ class GridLda:
         a, b = fn(self.ndk, dl_sh, self.nwk, self.nk)
         self.alpha, self.beta = float(a), float(b)
         return self.alpha, self.beta
+
+    # ------------------------------------------------------------------
+    def device_log_likelihood(self) -> float:
+        """Training LL on the grid: each cell reduces its own tokens against
+        its exact-local ``nwk`` slab and its row's ``ndk`` replica (every
+        token lives in exactly one cell, so the cell partials are disjoint);
+        the host sums all cells' chunk partials in float64.  The V·β mass
+        uses the GLOBAL vocabulary size, as in the sweep."""
+        if not hasattr(self, "_ll_fn"):
+            from ldagibbssampling_tpu.evaluation.device_metrics import (
+                shard_ll_chunks)
+
+            g = P("data", "vocab")
+            grid_sh = NamedSharding(self.mesh, g)
+            data_sh = NamedSharding(self.mesh, P("data"))
+            tw = jax.device_put(jnp.asarray(self.shards.token_word), grid_sh)
+            td = jax.device_put(jnp.asarray(self.shards.token_doc), grid_sh)
+            tm = jax.device_put(jnp.asarray(self.shards.token_mask), grid_sh)
+            dl = jax.device_put(jnp.asarray(self.shards.doc_lengths), data_sh)
+            v_global = self.corpus.vocab_size
+
+            def local(tw, td, tm, dl, ndk, nwk, nk, a, b):
+                chunks = shard_ll_chunks(
+                    ndk[0], nwk[0], nk, tw[0, 0], td[0, 0], tm[0, 0], dl[0],
+                    a, b, vocab_size=v_global)
+                return chunks[None, None]
+
+            fn = shard_map(
+                local, mesh=self.mesh,
+                in_specs=(g, g, g, P("data"), P("data"), P("vocab"),
+                          P(), P(), P()),
+                out_specs=g,
+                check_vma=False,
+            )
+            impl = jax.jit(fn)
+            self._ll_fn = lambda ndk, nwk, nk, a, b: impl(
+                tw, td, tm, dl, ndk, nwk, nk, a, b)
+        chunks = self._ll_fn(
+            self.ndk, self.nwk, self.nk,
+            jnp.float32(self.alpha), jnp.float32(self.beta))
+        return float(np.asarray(chunks, np.float64).sum())
 
     # ------------------------------------------------------------------
     def _ckpt_arrays(self) -> dict:

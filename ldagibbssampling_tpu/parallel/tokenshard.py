@@ -192,6 +192,42 @@ class TokenShardedLda:
         return self.alpha, self.beta
 
     # ------------------------------------------------------------------
+    def device_log_likelihood(self) -> float:
+        """Training LL with shard-local chunked device passes; tokens keep
+        GLOBAL doc ids here and both tables are replicas, so each shard
+        reduces its contiguous token range directly (host f64 sum of the
+        per-shard chunk partials)."""
+        if not hasattr(self, "_ll_fn"):
+            from ldagibbssampling_tpu.evaluation.device_metrics import (
+                shard_ll_chunks)
+
+            shard_sh = NamedSharding(self.mesh, P(self.axis))
+            repl_sh = NamedSharding(self.mesh, P())
+            tw = jax.device_put(jnp.asarray(self._tw), shard_sh)
+            td = jax.device_put(jnp.asarray(self._td), shard_sh)
+            tm = jax.device_put(jnp.asarray(self._tm), shard_sh)
+            dl = jax.device_put(jnp.asarray(self.doc_lengths), repl_sh)
+
+            def local(tw, td, tm, dl, ndk, nwk, nk, a, b):
+                chunks = shard_ll_chunks(
+                    ndk, nwk, nk, tw[0], td[0], tm[0], dl, a, b)
+                return chunks[None]
+
+            fn = shard_map(
+                local, mesh=self.mesh,
+                in_specs=(P(self.axis),) * 3 + (P(), P(), P(), P(), P(), P()),
+                out_specs=P(self.axis),
+                check_vma=False,
+            )
+            impl = jax.jit(fn)
+            self._ll_fn = lambda ndk, nwk, nk, a, b: impl(
+                tw, td, tm, dl, ndk, nwk, nk, a, b)
+        chunks = self._ll_fn(
+            self.ndk, self.nwk, self.nk,
+            jnp.float32(self.alpha), jnp.float32(self.beta))
+        return float(np.asarray(chunks, np.float64).sum())
+
+    # ------------------------------------------------------------------
     def _ckpt_arrays(self) -> dict:
         return {"z": self.z, "ndk": self.ndk, "nwk": self.nwk, "nk": self.nk,
                 "key": self._key, "sweep": self.sweep_idx}

@@ -178,3 +178,45 @@ def test_batched_fold_in_matches_serial_heldout():
     batched = heldout_perplexity_device(phi, held, alpha=0.5, n_sweeps=15, seed=0)
     # different chains, same estimator: agree within a few percent
     assert batched == pytest.approx(serial, rel=0.1)
+
+
+def test_phi_rhat_accumulator_matches_stored_draws():
+    # the O(C·K·V) running-moment split-R̂ must equal r_hat_phi over the same
+    # draw sequence (round-3 verdict weak #2): permuting accumulated moments
+    # at result() time == accumulating aligned draws
+    from ldagibbssampling_tpu.evaluation.diagnostics import (
+        PhiRhatAccumulator, r_hat_phi)
+
+    rng = np.random.default_rng(9)
+    c, s, k, v = 3, 12, 5, 30
+    base = rng.dirichlet(np.full(v, 0.3), size=k)
+    draws = np.empty((c, s, k, v))
+    perms = [np.arange(k), rng.permutation(k), rng.permutation(k)]
+    for ci in range(c):
+        for si in range(s):
+            noisy = base[perms[ci]] + 0.01 * rng.random((k, v))
+            draws[ci, si] = noisy / noisy.sum(axis=1, keepdims=True)
+    ref = r_hat_phi(draws)
+
+    acc = PhiRhatAccumulator(c, k, v)
+    for si in range(s):
+        acc.add(draws[:, si], half=0 if si < s // 2 else 1)
+    got = acc.result()
+    assert got["n_cells"] == ref["n_cells"]
+    assert got["max"] == pytest.approx(ref["max"], rel=1e-9)
+    assert got["p99"] == pytest.approx(ref["p99"], rel=1e-9)
+    assert got["frac_gt_1_1"] == ref["frac_gt_1_1"]
+    assert got["perms"] == ref["perms"]
+
+
+def test_phi_rhat_accumulator_guards():
+    from ldagibbssampling_tpu.evaluation.diagnostics import PhiRhatAccumulator
+
+    acc = PhiRhatAccumulator(2, 3, 10)
+    x = np.full((2, 3, 10), 0.1)
+    assert np.isnan(acc.result()["max"])  # too few draws
+    for _ in range(2):
+        acc.add(x, 0)
+    acc.add(x, 1)
+    with pytest.raises(ValueError, match="unbalanced"):
+        acc.add(x, 1) or acc.add(x, 1) or acc.result()
