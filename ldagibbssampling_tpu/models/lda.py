@@ -46,6 +46,7 @@ class LdaModel:
             )
             self.state = None
             self._run_sweeps = None
+            self.kernel_tier = "serial-oracle"
         else:
             block = max(1, min(config.block_size, max(1, corpus.num_tokens)))
             self.block_size = block
@@ -103,6 +104,7 @@ class LdaModel:
                 num_topics=config.topic_num,
                 deferred_plan=self._plan,
             )
+            self.kernel_tier = getattr(self._run_sweeps, "kernel_tier", "xla")
 
     # ------------------------------------------------------------------
     def sweep(self, n: int = 1) -> None:

@@ -122,10 +122,16 @@ def _fused_kernel(
     # read-only there and 0.4% relative error is below the draw's own
     # approx-reciprocal noise); compute stays f32
     nwk_rows = nwk_ref[:].astype(jnp.float32)
+    # the nk reciprocal is row-invariant: hoist it to one [1, K] pass and
+    # fold the self-exclusion back in to first order —
+    # 1/(x - e) = r/(1 - e·r) ≈ r + e·r²  for e ∈ {0, 1}; the dropped term is
+    # r³ ≤ (1/Vβ)³ — orders below the approx-reciprocal's own 2^-12 noise.
+    # Saves a full [bt, K] reciprocal + two adds per element (VPU-bound body).
+    r = pl.reciprocal(nk_ref[:] + vbeta, approx=True)
     p = (
         (nwk_rows - excl + beta)
         * (ndk_rows - excl + alpha)
-        * pl.reciprocal(nk_ref[:] - excl + vbeta, approx=True)
+        * (r + excl * (r * r))
     )
     if noise_mode == "internal":
         pltpu.prng_seed(seed_ref[0] + i)

@@ -74,6 +74,13 @@ def run_inference(
         config.validate_reference_guard()
     timer = SweepTimer(corpus.num_tokens)
     start = int(getattr(backend, "sweeps_done", 0))
+    if metrics is not None:
+        # one header row: the EFFECTIVE kernel tier (may be a logged
+        # downgrade from config.use_pallas — SURVEY.md §5 config row)
+        metrics.log(
+            start, kernel_tier=getattr(backend, "kernel_tier", "n/a"),
+            requested_tier=str(config.use_pallas), backend=config.backend,
+        )
 
     def _boundary(i: int) -> bool:
         """Does anything on the schedule need to run right after sweep i?"""

@@ -62,7 +62,11 @@ def test_runner_emits_metrics_and_optimizes_hyper(tmp_path):
         run_inference(model, cfg, corpus, result_dir=None, metrics=metrics,
                       ll_every=2, optimize_hyper_every=3)
     recs = read_metrics(p)
-    assert len(recs) == 6
+    # one header row (effective kernel tier) + one row per sweep
+    assert len(recs) == 7
+    assert recs[0]["requested_tier"] == "deferred"
+    assert recs[0]["kernel_tier"] in ("xla", "fused", "deferred")
+    recs = recs[1:]
     assert all("tokens_per_s" in r for r in recs)
     # LL logged on sweeps 2, 4, 6 (1-indexed) -> records 1, 3, 5
     assert "log_likelihood" in recs[1] and "perplexity" in recs[1]
