@@ -161,7 +161,7 @@ def rung4(scale: float, sweeps: int = 240, sweep_cap_factor: int = 8) -> dict:
     cap = sweep_cap_factor * base
 
     burn = base // 2
-    chains.sweep(burn, record_ll=True)
+    chains.sweep(burn)  # unrecorded: one batched dispatch
     total = burn
     window = base - burn
     history = []

@@ -69,14 +69,21 @@ class ChainSet:
         cfg = config
 
         @jax.jit
-        def run(states: SamplerState) -> SamplerState:
+        def run(states: SamplerState, n_sweeps: jax.Array) -> SamplerState:
             def one(s):
                 return gibbs_sweep(
                     s, tw, td, tm, dl,
                     alpha=cfg.alpha, beta=cfg.beta, block_size=block,
                     draw_method=cfg.draw_method,
                 )
-            return jax.vmap(one)(states)
+
+            def one_sweep(_, sts):
+                return jax.vmap(one)(sts)
+
+            # traced bound: a batch of sweeps is ONE dispatch (per-call
+            # dispatch on the remote-TPU platform costs ~0.3 s; unbatched
+            # burn-in dominated rung-4 wall-clock)
+            return jax.lax.fori_loop(0, n_sweeps, one_sweep, states)
 
         self._run = run
         self.ll_trace: list[np.ndarray] = []   # per sweep: [num_chains]
@@ -89,8 +96,11 @@ class ChainSet:
     ) -> None:
         from ldagibbssampling_tpu.evaluation.metrics import log_likelihood
 
+        if not (record_ll or record_phi):
+            self.states = self._run(self.states, jnp.int32(n))
+            return
         for _ in range(n):
-            self.states = self._run(self.states)
+            self.states = self._run(self.states, jnp.int32(1))
             if record_ll:
                 lls = []
                 for c in range(self.num_chains):

@@ -87,5 +87,7 @@ def test_cli_chains_logs_rhat(tmp_path, monkeypatch):
                "--chains", "3", "--metrics-file", "m.jsonl", "--seed", "2"])
     assert rc == 0
     recs = read_metrics("m.jsonl")
-    assert len(recs) == 6
+    assert len(recs) == 7  # tier header + one row per sweep
+    assert recs[0]["kernel_tier"] == "n/a"  # multi-chain runs the XLA vmap
+    recs = recs[1:]
     assert any("r_hat" in r for r in recs)  # needs >=4 recorded sweeps

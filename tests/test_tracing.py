@@ -91,7 +91,8 @@ def test_cli_metrics_flag(tmp_path):
     ])
     assert rc == 0
     recs = read_metrics(mfile)
-    assert len(recs) == 4
+    assert len(recs) == 5  # tier header + one row per sweep
+    recs = recs[1:]
     assert "log_likelihood" in recs[1]
 
 
