@@ -80,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="after training, fold-in unseen documents from this "
                          "directory (trained vocabulary; new words dropped) and "
                          "write inferred.theta/.tassign to --results")
+    ap.add_argument("--check-counts", action="store_true",
+                    help="after training, recompute every count table "
+                         "serially from z and assert bitwise equality with "
+                         "the device tables (the race-detection analog; "
+                         "mesh + single-chip gibbs runtimes)")
     return ap
 
 
@@ -194,6 +199,16 @@ def main(argv=None) -> int:
             print(f"error: {e}", file=sys.stderr)
             return 2
     dt = time.perf_counter() - t0
+
+    if args.check_counts:
+        checker = getattr(model, "check_counts_consistent", None)
+        if checker is None:
+            print(f"error: backend {cfg.backend!r} has no count tables to "
+                  "check (--check-counts is for the gibbs runtimes)",
+                  file=sys.stderr)
+            return 2
+        checker()
+        print("count tables bitwise-consistent with a serial recount of z")
 
     print("3 Output the final model ...")
     if result_dir is not None:

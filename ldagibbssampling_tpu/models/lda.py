@@ -176,6 +176,25 @@ class LdaModel:
             z = z_orig
         return z[: self.corpus.num_tokens]
 
+    def check_counts_consistent(self) -> None:
+        """Recompute all count tables serially from ``z`` and assert bitwise
+        equality with the device tables (SURVEY.md §5 race-detection analog;
+        same contract as the mesh runtimes')."""
+        if self.state is None:
+            return  # the serial oracle maintains its own invariant checks
+        pc = self._padded
+        mask = pc.token_mask.astype(bool)
+        z = np.asarray(self.state.z)
+        k = self.config.topic_num
+        ndk_ref = np.zeros((pc.num_docs, k), np.int64)
+        nwk_ref = np.zeros((pc.vocab_size, k), np.int64)
+        np.add.at(ndk_ref, (pc.token_doc[mask], z[mask]), 1)
+        np.add.at(nwk_ref, (pc.token_word[mask], z[mask]), 1)
+        np.testing.assert_array_equal(np.asarray(self.state.ndk), ndk_ref)
+        np.testing.assert_array_equal(np.asarray(self.state.nwk), nwk_ref)
+        np.testing.assert_array_equal(np.asarray(self.state.nk),
+                                      nwk_ref.sum(axis=0))
+
     def device_log_likelihood(self) -> float:
         """Training LL computed on device in token chunks (constant host
         memory; ``evaluation/device_metrics.py``) — the ``--ll-every`` fast

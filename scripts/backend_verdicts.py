@@ -33,7 +33,7 @@ def svi_vs_gibbs():
         heldout_perplexity_device)
     from ldagibbssampling_tpu.models.lda import LdaModel
 
-    m_train, m_held = 30_000, 400
+    m_train, m_held = 10_000, 400
     v, k = 20_000, 50
     corpus, _ = planted_topic_corpus(m_train + m_held, v, k,
                                      mean_doc_len=100, seed=11)

@@ -90,3 +90,30 @@ def test_cli_reference_param_file(tmp_path):
     params = (tmp_path / "res" / "lda_4.params").read_text()
     assert "alpha = 0.3" in params
     assert "topicNum = 3" in params
+
+
+def test_cli_check_counts_flag(tmp_path):
+    from ldagibbssampling_tpu.cli import main as cli_main
+    from ldagibbssampling_tpu.data import write_minicorpus
+
+    docs = tmp_path / "docs"
+    write_minicorpus(docs, num_docs=10)
+    out = capsys = None
+    rc = cli_main([
+        "--docs", str(docs), "--no-save", "-k", "4", "--iterations", "5",
+        "--block-size", "64", "--seed", "3", "--check-counts",
+    ])
+    assert rc == 0
+    # mesh runtime path too
+    rc = cli_main([
+        "--docs", str(docs), "--no-save", "-k", "4", "--iterations", "5",
+        "--block-size", "32", "--seed", "3", "--mesh", "data=4",
+        "--check-counts",
+    ])
+    assert rc == 0
+    # backends without count tables refuse cleanly
+    rc = cli_main([
+        "--docs", str(docs), "--no-save", "-k", "4", "--iterations", "5",
+        "--backend", "svi", "--check-counts",
+    ])
+    assert rc == 2
