@@ -88,7 +88,7 @@ def plan_deferred(
     vocab_size: int,
     block_size: int,
     *,
-    v_loc: int = 256,
+    v_loc: int = 128,
     tile: int = 2048,
 ) -> DeferredPlan:
     """Host-side, one-off layout for the deferred sweep (see ``DeferredPlan``).

@@ -37,6 +37,65 @@ except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 
+def deferred_token_layout(
+    tw: np.ndarray, td: np.ndarray, tm: np.ndarray,
+    vocab_size: int, num_docs: int, block_size: int, num_topics: int = 512,
+):
+    """Per-shard ``DeferredPlan``s for the token-sharded runtime.
+
+    Same contract as ``adlda.deferred_shard_layout`` but over raw ``[P, T_s]``
+    token arrays with GLOBAL doc ids (shards are contiguous corpus ranges, so
+    each shard's stream is doc-major and the fused kernel's doc-slab layout
+    applies directly).  Returns ``((tw2, td2, tm2, layout), None)`` or
+    ``(None, reason)``.
+    """
+    from ldagibbssampling_tpu.corpus.flat import PaddedCorpus
+    from ldagibbssampling_tpu.ops.count_kernel import plan_deferred, stack_plans
+    from ldagibbssampling_tpu.ops.gibbs import _pick_row_tile
+
+    row_tile = _pick_row_tile(block_size, num_topics)
+    if row_tile == 0:
+        return None, f"no Mosaic-legal row tile for block_size {block_size}"
+    p = tw.shape[0]
+    plans = []
+    global_freq = np.zeros(max(vocab_size, 1), np.int64)
+    for s in range(p):
+        real = tm[s] > 0
+        global_freq += np.bincount(tw[s][real], minlength=vocab_size)
+        try:
+            plans.append(plan_deferred(tw[s][real], td[s][real],
+                                       vocab_size, block_size))
+        except ValueError as e:
+            return None, str(e)
+    if global_freq.size and int(global_freq.max()) >= (1 << 24):
+        return None, (
+            f"max global word frequency {int(global_freq.max())} >= 2^24 "
+            "would round the psum'd f32 count tables"
+        )
+    stacked = stack_plans(plans)
+    tw2, td2, tm2 = (stacked["token_word"], stacked["token_doc"],
+                     stacked["token_mask"])
+
+    def slabs(s, mult):
+        pc = PaddedCorpus(
+            token_word=tw2[s], token_doc=td2[s], token_mask=tm2[s],
+            num_real_tokens=int(tm2[s].sum()),
+            vocab_size=vocab_size, num_docs=num_docs,
+        )
+        return pc.doc_slabs(block_size, d_loc_multiple=128 if mult is None else mult)
+
+    d_loc = max(slabs(s, None)[2] for s in range(p))
+    per = [slabs(s, d_loc) for s in range(p)]
+    stacked["d_local"] = np.stack([x[0] for x in per])
+    stacked["d0"] = np.stack([x[1] for x in per])
+    stacked["d_loc"] = d_loc
+    stacked["row_tile"] = row_tile
+    lengths = np.bincount(td2.reshape(-1)[tm2.reshape(-1) > 0],
+                          minlength=max(num_docs, 1))
+    stacked["slab_split"] = bool(lengths.size and int(lengths.max()) > 256)
+    return (tw2, td2, tm2, stacked), None
+
+
 def split_tokens(corpus: FlatCorpus, num_shards: int, block_size: int = 1):
     """Even contiguous split of the token stream, each shard block-padded.
 
@@ -58,6 +117,84 @@ def split_tokens(corpus: FlatCorpus, num_shards: int, block_size: int = 1):
         td[p, :n] = corpus.token_doc[lo:hi]
         tm[p, :n] = 1
     return tw, td, tm
+
+
+def _make_deferred_token_sweep_fn(model, mesh, layout, *, twj, tdj, tmj,
+                                  shard_sh, axis, interpret):
+    """Deferred-``nwk`` tier for the token-sharded runtime.
+
+    Per shard: the fused kernel sweeps the shard's contiguous token range
+    against sweep-stale replicas, the local word-topic table is rebuilt on
+    the MXU, and reconciliation is ``nwk = psum(local_counts)`` plus a psum
+    of ``ndk`` deltas (a straddling document's partial rows add correctly).
+    Exact topic totals come from int32 column sums of the reconciled table.
+    """
+    from ldagibbssampling_tpu.models.state import SamplerState
+    from ldagibbssampling_tpu.ops.count_kernel import replicate_rows
+    from ldagibbssampling_tpu.ops.gibbs import deferred_local_counts
+
+    p = twj.shape[0]
+    nt, tile = layout["num_tiles"], layout["tile"]
+    block_size = layout["block_size"]
+    d_loc, row_tile = layout["d_loc"], layout["row_tile"]
+    v_loc, v_pad = layout["v_loc"], layout["v_pad"]
+    slab_split = layout["slab_split"]
+    noise_mode = "external" if interpret else "internal"
+
+    tdl = jax.device_put(jnp.asarray(layout["d_local"]), shard_sh)
+    jd0 = jax.device_put(jnp.asarray(layout["d0"]), shard_sh)
+    jrg = jax.device_put(jnp.asarray(layout["row_gather_idx"]), shard_sh)
+    jwl = jax.device_put(
+        jnp.asarray(layout["w_local"].reshape(p, nt, tile)), shard_sh)
+    jts = jax.device_put(jnp.asarray(layout["tile_stripe"]), shard_sh)
+
+    def local_sweeps(tw, tm, tdl, jd0, jrg, jwl, jts, z, ndk, nwk, nk,
+                     key, sweep, n_sweeps, alpha_t, beta_t):
+        tw, tm, tdl = tw[0], tm[0], tdl[0]
+        d0_, rg_, ts_ = jd0[0], jrg[0], jts[0]
+        wl8 = replicate_rows(jwl[0])
+        shard_key = jax.random.fold_in(key, lax.axis_index(axis))
+
+        def one(_, carry):
+            z, ndk, nwk, nk, sweep = carry
+            state = SamplerState(z=z, ndk=ndk, nwk=nwk, nk=nk,
+                                 key=shard_key, sweep=sweep)
+            z2, ndk_local, local_counts, _ = deferred_local_counts(
+                state, tw, tdl, tm, d0_, rg_, wl8, ts_, alpha_t, beta_t,
+                block_size=block_size, d_loc=d_loc, row_tile=row_tile,
+                noise_mode=noise_mode, pallas_interpret=interpret,
+                vocab_size=None, v_loc=v_loc, v_pad=v_pad, tile=tile,
+                slab_split=slab_split,
+            )
+            nwk2 = lax.psum(local_counts, axis).astype(nwk.dtype)
+            ndk2 = ndk + lax.psum(ndk_local - ndk, axis)
+            nk2 = jnp.sum(nwk2, axis=0)
+            return z2, ndk2, nwk2, nk2, sweep + 1
+
+        z, ndk, nwk, nk, sweep = lax.fori_loop(
+            0, n_sweeps, one, (z[0], ndk, nwk, nk, sweep)
+        )
+        return z[None], ndk, nwk, nk, sweep
+
+    sharded = P(axis)
+    repl = P()
+    fn = shard_map(
+        local_sweeps, mesh=mesh,
+        in_specs=(sharded,) * 7 + (sharded, repl, repl, repl, repl, repl,
+                                   repl, repl, repl),
+        out_specs=(sharded, repl, repl, repl, repl),
+        check_vma=False,
+    )
+    run_impl = jax.jit(fn)
+
+    def run(z, ndk, nwk, nk, key, sweep, n_sweeps=1, alpha_v=None, beta_v=None):
+        a = jnp.float32(model.alpha if alpha_v is None else alpha_v)
+        b = jnp.float32(model.beta if beta_v is None else beta_v)
+        return run_impl(twj, tmj, tdl, jd0, jrg, jwl, jts, z, ndk, nwk, nk,
+                        key, sweep, jnp.int32(n_sweeps), a, b)
+
+    run.kernel_tier = "deferred"
+    return run
 
 
 class TokenShardedLda:
@@ -84,7 +221,50 @@ class TokenShardedLda:
         tw, td, tm = split_tokens(corpus, p, block_size=block)
         block = min(block, tw.shape[1])
         self.block_size = block
-        self._sorted = bool(getattr(config, "sort_blocks", False)) and block > 1
+
+        # kernel-tier resolution (mirrors parallel/adlda.py); this runtime
+        # has no fused-delta tier, so deferred falls straight to XLA
+        from ldagibbssampling_tpu.ops.gibbs import warn_tier_downgrade
+
+        use_pallas = getattr(config, "use_pallas", False)
+        interpret = bool(getattr(config, "pallas_interpret", False))
+        self._interpret = interpret
+        if use_pallas in ("fused", "deferred") and config.draw_method != "gumbel":
+            warn_tier_downgrade(
+                use_pallas, False,
+                f"draw_method {config.draw_method!r} needs the XLA sweep")
+            use_pallas = False
+        if use_pallas and jax.default_backend() != "tpu" and not interpret:
+            warn_tier_downgrade(
+                use_pallas, False,
+                f"platform is {jax.default_backend()!r}, not tpu")
+            use_pallas = False
+        if use_pallas in ("fused", "deferred") and block < 128:
+            warn_tier_downgrade(
+                use_pallas, False, f"block_size {block} < 128 (no Mosaic tile)")
+            use_pallas = False
+        if use_pallas == "fused":
+            warn_tier_downgrade(
+                "fused", False,
+                "token-sharded runtime has no fused-delta tier "
+                "(use deferred or the XLA sweep)")
+            use_pallas = False
+        self._dlayout = None
+        if use_pallas == "deferred":
+            layout, reason = deferred_token_layout(
+                tw, td, tm, corpus.vocab_size, corpus.num_docs, block,
+                config.topic_num)
+            if layout is None:
+                warn_tier_downgrade("deferred", False, reason)
+                use_pallas = False
+            else:
+                tw, td, tm, self._dlayout = layout
+        self._use_pallas = use_pallas
+
+        self._sorted = (
+            bool(getattr(config, "sort_blocks", False))
+            and block > 1 and self._dlayout is None
+        )
         if self._sorted:
             from ldagibbssampling_tpu.parallel.sharding import sort_blocks_inplace
 
@@ -123,6 +303,18 @@ class TokenShardedLda:
         draw = config.draw_method
         bsz = block
         sorted_flag = self._sorted
+        # live hyperparameters (Minka optimization moves them; traced scalars
+        # so updates never recompile)
+        self.alpha = float(config.alpha)
+        self.beta = float(config.beta)
+
+        if self._dlayout is not None:
+            self._sweep_fn = _make_deferred_token_sweep_fn(
+                self, mesh, self._dlayout, twj=twj, tdj=tdj, tmj=tmj,
+                shard_sh=shard_sh, axis=axis, interpret=self._interpret,
+            )
+            self.kernel_tier = "deferred"
+            return
 
         def local_sweep(tw, td, dlr, tm, z, ndk, nwk, nk, key, sweep, n_sweeps,
                         alpha_t, beta_t):
@@ -160,10 +352,6 @@ class TokenShardedLda:
         )
 
         run_impl = jax.jit(fn)
-        # live hyperparameters (Minka optimization moves them; traced scalars
-        # so updates never recompile)
-        self.alpha = float(config.alpha)
-        self.beta = float(config.beta)
 
         def run(z, ndk, nwk, nk, key, sweep, n_sweeps=1, alpha_v=None, beta_v=None):
             a = jnp.float32(self.alpha if alpha_v is None else alpha_v)
@@ -172,6 +360,7 @@ class TokenShardedLda:
                             jnp.int32(n_sweeps), a, b)
 
         self._sweep_fn = run
+        self.kernel_tier = "xla"
 
     # ------------------------------------------------------------------
     def sweep(self, n: int = 1) -> None:

@@ -133,3 +133,23 @@ def test_sharded_deferred_matches_xla_statistics():
     p_def = perplexity(m_def.phi(), m_def.theta(), fc)
     p_xla = perplexity(m_xla.phi(), m_xla.theta(), fc)
     assert abs(p_def - p_xla) / p_xla < 0.06
+
+
+def test_tokenshard_deferred_counts_bitwise():
+    from ldagibbssampling_tpu.parallel.tokenshard import TokenShardedLda
+
+    # include one giant document so the straddling-doc psum path is real
+    rng = np.random.default_rng(31)
+    ragged = [[int(x) for x in rng.integers(0, 48, size=600)]]
+    ragged += [
+        [int(x) for x in rng.integers(0, 48, size=int(rng.integers(8, 40)))]
+        for _ in range(20)
+    ]
+    fc = FlatCorpus.from_ragged(ragged, vocab_size=48)
+    model = TokenShardedLda(_cfg(seed=9), fc, num_shards=4)
+    assert model.kernel_tier == "deferred"
+    model.sweep(2)
+    model.check_counts_consistent()
+    assert int(np.asarray(model.nk).sum()) == fc.num_tokens
+    np.testing.assert_allclose(model.phi().sum(axis=1), 1.0, rtol=1e-6)
+    assert np.isfinite(model.device_log_likelihood())
