@@ -11,6 +11,23 @@ TPU mapping: particles are a ``vmap`` axis (all particles advance in lockstep,
 one token per step under ``lax.scan``), so the per-token work is a [P, K]
 vectorized block.  ``sweep()`` = one full absorb pass over the corpus
 (re-absorbing tokens acts as a rejuvenation pass).
+
+**Measured scale ceiling (TPU v5e, scripts/backend_verdicts.py):** 23.4 s
+per pass at T=173k, P=16, K=20 — ~7.4k tokens/s, four orders of magnitude
+below the deferred Gibbs tier, because the particle filter's per-token
+sequential absorption IS the algorithm (each token's conditional depends on
+every previous token's assignment), so the ``lax.scan`` cannot be blocked
+without changing the sampler.  The memory wall compounds it: per-particle
+count tables are ``[P, M, K] + [P, V, K]`` f32 —
+
+- rung 3 shape (M=300k, V=100k, K=100, P=16):  ~3 GB
+- rung 4 shape (M=1M,  V=100k, K=500, P=16):  ~35 GB  (exceeds one v5e)
+- rung 5 shape (M=8.2M, V=140k, K=1000, P=16): ~534 GB
+
+Honest role: small corpora where a single-pass posterior (no burn-in) or
+online document arrival matters, and as the algorithmic reference for the
+particle-filter family.  For batch training at any BASELINE rung, run the
+Gibbs tiers.
 """
 
 from __future__ import annotations

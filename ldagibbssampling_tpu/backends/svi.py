@@ -11,6 +11,28 @@ their γ, and blends the natural-gradient estimate with decaying rate
 The whole update is dense [B,V]×[V,K] matmul work — MXU-shaped by
 construction.  Minibatches stream from a host-side bag-of-words iterator
 (jitted device step + host prefetch loop).
+
+**Measured verdict on TPU v5e (scripts/backend_verdicts.py; the honest
+negative result round-3 asked for):** on a 1.08M-token, V=20k, K=50 corpus
+with a 400-doc held-out split, both on chip:
+
+=====  =========  ==========  ============
+model  passes     wall        held-out ppl
+=====  =========  ==========  ============
+Gibbs  61 sweeps  **0.79 s**  13452 (still falling)
+SVI    16 epochs  **349 s**   17864 (plateauing)
+=====  =========  ==========  ============
+
+One full-corpus SVI epoch costs ~20 s wall (64-doc-batch dispatch loop +
+host densify) vs ~13 ms for one deferred-tier Gibbs sweep — ~1500× more
+wall per pass — and its per-pass perplexity decline is SLOWER than
+Gibbs's per-sweep decline at this shape, so there is NO measured regime on
+this stack where SVI wins at batch training.  What survives of its design
+premise: (a) O(K·V) device state — Gibbs carries ~8 bytes/token of device
+state, so a single 16 GB chip tops out around 1–2 B tokens, beyond which
+SVI (or doc-sharding) is the only option; (b) genuinely ONLINE settings
+where documents arrive as a stream and are seen once.  For every corpus
+that fits (all five BASELINE rungs fit one chip), run the Gibbs tiers.
 """
 
 from __future__ import annotations
