@@ -231,7 +231,8 @@ def _count_kernel(stripe_ref, w_local_ref, z_ref, out_ref, nk_ref):
     # data; the 8x row replication exists because an [N, 1] column array gets
     # the T(8,128) tiled HBM layout — lanes pad 1 -> 128, a 128x memory blowup
     # at rung-3+ token counts).  Contraction on lanes of both operands maps
-    # onto the MXU (measured 3.0 ms / 1M tokens at v_loc=256, K=512 on v5e).
+    # onto the MXU; MAC cost scales with v_loc (measured sweeps on v5e, K=500,
+    # T=1M: v_loc 128/256/512 -> 19.3/19.8/24.7 ms — 128 is the default).
     wrows = jax.lax.broadcasted_iota(jnp.int32, (v_loc, tile), dimension=0)
     zrows = jax.lax.broadcasted_iota(jnp.int32, (k_pad, tile), dimension=0)
     oh_wT = (wrows == w_local_ref[0:1, :]).astype(jnp.bfloat16)  # pads (-1): zero

@@ -162,6 +162,14 @@ def run_inference(
                 rh = r_hat_fn()
                 if rh == rh:  # skip NaN (needs >= 4 recorded sweeps)
                     scalars["r_hat"] = rh
+            if ll_every > 0 and (i_last + 1) % ll_every == 0:
+                # topic-aligned R-hat(phi) p99 (BASELINE config 4) on the
+                # LL cadence — the O(C*K*V) summary is not per-sweep cheap
+                rhp_fn = getattr(backend, "r_hat_phi", None)
+                if callable(rhp_fn):
+                    p99 = rhp_fn().get("p99", float("nan"))
+                    if p99 == p99:
+                        scalars["r_hat_phi_p99"] = p99
             metrics.log(i_last, **scalars)
         if progress is not None:
             for j in range(i, i_last + 1):  # keep per-iteration stdout parity

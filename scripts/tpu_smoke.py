@@ -270,12 +270,47 @@ def main() -> int:
         print(f"      50M shard: setup+compile {setup_s:.0f}s, "
               f"{t / sweep_s / 1e6:.1f}M tok/s steady")
 
+    # ---------------------------------------------------------------- 8
+    def mesh_deferred_on_chip():
+        """The mesh runtimes' deferred tier with its REAL (non-interpret)
+        kernels: 1-device data mesh + 1x1 grid mesh on the chip — the psum
+        reconciliation program compiled and executed, counts bitwise."""
+        from jax.sharding import Mesh
+
+        from ldagibbssampling_tpu.config import LdaConfig
+        from ldagibbssampling_tpu.corpus.flat import FlatCorpus
+        from ldagibbssampling_tpu.parallel.adlda import ShardedLda
+        from ldagibbssampling_tpu.parallel.grid import GridLda
+
+        rng = np.random.default_rng(5)
+        t, v, m = 500_000, 20_000, 2_000
+        raw = rng.zipf(1.1, size=t).astype(np.int64)
+        tw = ((raw - 1) % v).astype(np.int32)
+        td = np.sort((np.arange(t, dtype=np.int64) * m // t).astype(np.int32))
+        ptr = np.zeros(m + 1, np.int64)
+        np.cumsum(np.bincount(td, minlength=m), out=ptr[1:])
+        corpus = FlatCorpus(token_word=tw, token_doc=td, doc_ptr=ptr,
+                            vocab_size=v)
+        cfg = LdaConfig(topic_num=100, block_size=65_536, seed=1)
+        sh = ShardedLda(cfg, corpus, num_shards=1)
+        assert sh.kernel_tier == "deferred", sh.kernel_tier
+        sh.sweep(3)
+        sh.check_counts_consistent()
+        assert np.isfinite(sh.device_log_likelihood())
+        mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
+                    ("data", "vocab"))
+        gr = GridLda(cfg, corpus, mesh=mesh)
+        assert gr.kernel_tier == "deferred", gr.kernel_tier
+        gr.sweep(2)
+        gr.check_counts_consistent()
+
     check("sweep invariants + determinism on chip", sweep_invariants)
     check("pallas kernel on-core PRNG chi-square", pallas_chi_square)
     check("sorted-scatter path statistical agreement", sorted_agrees)
     check("jax.profiler trace capture", profiler_trace)
     check("fused kernel statistical parity vs oracle", fused_kernel_parity)
     check("deferred staleness statistical parity (32 blocks)", deferred_parity)
+    check("mesh runtimes' deferred tier on chip", mesh_deferred_on_chip)
     if os.environ.get("LDA_SMOKE_50M", "1") != "0":
         check("deferred 50M-token shard (2^24 ceiling lifted)", deferred_50m_shard)
     return 1 if failures else 0

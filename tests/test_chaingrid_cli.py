@@ -86,3 +86,22 @@ def test_chain_mesh_conflicting_chain_count():
                     mesh={"chain": 2, "data": 2})
     with pytest.raises(ValueError, match="conflicts"):
         make_backend(cfg, _corpus())
+
+
+def test_chain_mesh_metrics_log_rhat_phi(tmp_path):
+    # runner logs the topic-aligned R-hat(phi) p99 on the --ll-every cadence
+    import json
+
+    from ldagibbssampling_tpu.evaluation.tracing import MetricsLog
+    from ldagibbssampling_tpu.runner import run_inference
+
+    fc = _corpus(seed=23)
+    cfg = LdaConfig(topic_num=5, block_size=32, chains=2, use_pallas=False,
+                    iteration=10, begin_save_iters=9, save_step=1,
+                    mesh={"chain": 2, "data": 4})
+    model = make_backend(cfg, fc)
+    mpath = tmp_path / "m.jsonl"
+    with MetricsLog(mpath) as metrics:
+        run_inference(model, cfg, fc, None, metrics=metrics, ll_every=2)
+    rows = [json.loads(x) for x in mpath.read_text().splitlines()]
+    assert any("r_hat_phi_p99" in r for r in rows)
