@@ -15,7 +15,6 @@ one shard.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
