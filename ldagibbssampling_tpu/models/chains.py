@@ -192,10 +192,15 @@ class MultiChainModel:
         self.corpus = corpus
         self.chains = ChainSet(config, corpus, num_chains=max(2, config.chains))
         self._sweeps = 0
+        self._phi_draws = 0
 
     def sweep(self, n: int = 1) -> None:
         self.chains.sweep(n, record_ll=True)
         self._sweeps += n
+        # one φ draw per sweep call into the O(C·K·V) running accumulator,
+        # half-alternating so split-R̂ stays balanced at any horizon
+        self.chains.record_phi(half=self._phi_draws % 2)
+        self._phi_draws += 1
 
     @property
     def sweeps_done(self) -> int:
@@ -213,6 +218,9 @@ class MultiChainModel:
 
     def r_hat(self) -> float:
         return self.chains.r_hat_ll()
+
+    def r_hat_phi(self) -> dict:
+        return self.chains.r_hat_phi()
 
     def mean_phi(self) -> np.ndarray:
         return self.chains.mean_phi()
