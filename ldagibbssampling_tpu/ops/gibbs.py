@@ -439,7 +439,8 @@ def _deferred_sweep_impl(
     tile: int,
     mirror_dtype: str = "bfloat16",
     slab_split: bool = True,
-) -> SamplerState:
+    mirror: Optional[jax.Array] = None,
+):
     """One sweep in deferred-``nwk`` mode (the TPU fast path since round 3).
 
     Blocks sample against a sweep-stale bfloat16 snapshot of the word-topic
@@ -449,14 +450,21 @@ def _deferred_sweep_impl(
     rebuilt once per sweep by ``ops/count_kernel.build_nwk`` as MXU matmuls.
     Measured v5e, T=1M, K=500: 37.9 ms/sweep (block mode) → the rebuild path
     removes the ~22 ms row-count-bound gather+scatter pair.
+
+    Returns ``(state', mirror')``: the rebuild kernel emits the next sweep's
+    bf16 snapshot as a ride-along output, so multi-sweep dispatches skip the
+    per-sweep ``[V, K]`` pad+cast (~2 ms at V=50k, K=500 on v5e).  Pass the
+    returned ``mirror`` back in for the following sweep; ``None`` (first
+    sweep of a dispatch) casts from ``state.nwk``.
     """
-    z, ndk, local_counts, nk_rebuilt = deferred_local_counts(
+    z, ndk, local_counts, nk_rebuilt, mirror_out = deferred_local_counts(
         state, token_word, token_dloc, token_mask, d0_blocks,
         row_gather_idx, w_local8, tile_stripe, alpha, beta,
         block_size=block_size, d_loc=d_loc, row_tile=row_tile,
         noise_mode=noise_mode, pallas_interpret=pallas_interpret,
         vocab_size=vocab_size, v_loc=v_loc, v_pad=v_pad, tile=tile,
         mirror_dtype=mirror_dtype, slab_split=slab_split,
+        mirror=mirror, emit_mirror=True,
     )
     count_dtype = state.nwk.dtype
     # exact topic totals (the fused kernel's running f32 nk is a sampling
@@ -467,7 +475,7 @@ def _deferred_sweep_impl(
         nk_new = nk_rebuilt.astype(jnp.int32)
     else:
         nk_new = jnp.sum(local_counts.astype(jnp.int32), axis=0)
-    return SamplerState(
+    state_out = SamplerState(
         z=z,
         ndk=ndk,
         nwk=local_counts.astype(count_dtype),
@@ -475,6 +483,7 @@ def _deferred_sweep_impl(
         key=state.key,
         sweep=state.sweep + 1,
     )
+    return state_out, mirror_out
 
 
 def deferred_local_counts(
@@ -500,8 +509,11 @@ def deferred_local_counts(
     tile: int,
     mirror_dtype: str = "bfloat16",
     slab_split: bool = True,
+    mirror: Optional[jax.Array] = None,
+    emit_mirror: bool = False,
 ):
-    """Deferred-mode sweep core: returns ``(z, ndk, local_counts_f32, nk_f32)``.
+    """Deferred-mode sweep core: returns
+    ``(z, ndk, local_counts_f32, nk_f32, mirror_out)``.
 
     ``local_counts`` is the word-topic count table of THIS token stream's
     final assignments ([V, K] f32, integer-exact); ``nk_f32`` its topic totals
@@ -509,10 +521,22 @@ def deferred_local_counts(
     Single-chip callers use it directly as the new ``nwk``; the AD-LDA runtime
     psums the per-shard local tables over the data axis (global counts are the
     sum of shard-local counts — no delta bookkeeping needed).  ``state.nwk``
-    is only READ, as the sweep-stale snapshot (``mirror_dtype`` cast).
+    is only READ, as the sweep-stale snapshot (``mirror_dtype`` cast) — or,
+    when ``mirror`` is passed (``[v_pad, k_pad]`` ``mirror_dtype``, the
+    previous call's ``mirror_out``), not touched at all.  ``mirror_out`` is
+    the rebuild kernel's ride-along bf16 cast of ``local_counts`` when
+    ``emit_mirror=True`` (single-chip multi-sweep dispatches), else ``None``
+    (mesh runtimes: a shard-local mirror is not the global table — they cast
+    after the psum).
     """
     from ldagibbssampling_tpu.ops.count_kernel import build_nwk
     from ldagibbssampling_tpu.ops.pallas_gibbs import pallas_fused_block
+
+    if emit_mirror and mirror_dtype != "bfloat16":
+        raise ValueError(
+            "the rebuild kernel's ride-along mirror is bfloat16; "
+            f"emit_mirror=True is incompatible with mirror_dtype={mirror_dtype!r}"
+        )
 
     t_pad = token_word.shape[0]
     num_blocks = t_pad // block_size
@@ -531,8 +555,9 @@ def deferred_local_counts(
     # halved HBM traffic wins (18.7 vs 19.6 ms/sweep) while also halving the
     # snapshot's memory at rung-5 V·K.  bf16's 2^-8 relative error is below
     # the draw's approx-reciprocal noise and never touches the exact counts.
-    mirror = jnp.pad(state.nwk, ((0, 0), (0, k_pad - k))).astype(
-        jnp.dtype(mirror_dtype))
+    if mirror is None:
+        mirror = jnp.pad(state.nwk, ((0, 0), (0, k_pad - k))).astype(
+            jnp.dtype(mirror_dtype))
 
     sweep_key = jax.random.fold_in(state.key, state.sweep)
     seed = jax.random.randint(sweep_key, (), 0, 2**31 - 1 - num_blocks, jnp.int32)
@@ -573,13 +598,22 @@ def deferred_local_counts(
     z, ndk_p, _ = lax.fori_loop(
         0, num_blocks, body, (state.z, ndk_p, nk_p)
     )
-    local_counts, nk_f32 = build_nwk(
-        z, row_gather_idx, w_local8, tile_stripe,
-        v_loc=v_loc, v_pad=v_pad, k_pad=k_pad, tile=tile,
-        interpret=pallas_interpret,
-    )
+    if emit_mirror:
+        local_counts, nk_f32, mirror_out = build_nwk(
+            z, row_gather_idx, w_local8, tile_stripe,
+            v_loc=v_loc, v_pad=v_pad, k_pad=k_pad, tile=tile,
+            interpret=pallas_interpret, emit_mirror=True,
+        )
+    else:
+        local_counts, nk_f32 = build_nwk(
+            z, row_gather_idx, w_local8, tile_stripe,
+            v_loc=v_loc, v_pad=v_pad, k_pad=k_pad, tile=tile,
+            interpret=pallas_interpret,
+        )
+        mirror_out = None
     local_counts = local_counts[: state.nwk.shape[0], :k]
-    return z, ndk_p[:m, :k].astype(count_dtype), local_counts, nk_f32[:k]
+    return (z, ndk_p[:m, :k].astype(count_dtype), local_counts, nk_f32[:k],
+            mirror_out)
 
 
 def make_sweep_fn(
@@ -709,13 +743,17 @@ def make_sweep_fn(
         def run_deferred(state: SamplerState, alpha=alpha, beta=beta) -> SamplerState:
             a = jnp.asarray(alpha, jnp.float32)
             b = jnp.asarray(beta, jnp.float32)
+            # the rebuild kernel emits the NEXT sweep's bf16 gather snapshot
+            # as a ride-along output, so only the dispatch's first sweep pays
+            # the [V, K] pad+cast (~2 ms at V=50k, K=500 on v5e)
+            mirror = None
             for _ in range(num_sweeps):
-                state = _deferred_sweep_impl(
+                state, mirror = _deferred_sweep_impl(
                     state, jtw, tdl, jtm, jd0, jrg, jwl, jts, a, b,
                     block_size=block_size, d_loc=d_loc, row_tile=row_tile,
                     noise_mode=noise_mode, pallas_interpret=pallas_interpret,
                     vocab_size=None, v_loc=plan.v_loc, v_pad=plan.v_pad,
-                    tile=plan.tile, slab_split=slab_split,
+                    tile=plan.tile, slab_split=slab_split, mirror=mirror,
                 )
             return state
 

@@ -391,7 +391,7 @@ def _make_deferred_sharded_sweep_fn(
             z, ndk, nwk, nk, sweep = carry
             state = SamplerState(z=z, ndk=ndk, nwk=nwk, nk=nk,
                                  key=shard_key, sweep=sweep)
-            z2, ndk2, local_counts, _ = deferred_local_counts(
+            z2, ndk2, local_counts, _, _ = deferred_local_counts(
                 state, tw, tdl, tm, d0_, rg_, wl8, ts_, alpha_t, beta_t,
                 block_size=block_size, d_loc=d_loc, row_tile=row_tile,
                 noise_mode=noise_mode, pallas_interpret=pallas_interpret,

@@ -533,7 +533,7 @@ def _make_deferred_grid_sweep_fn(
             z, ndk, nwk, nk, sweep = carry
             state = SamplerState(z=z, ndk=ndk, nwk=nwk, nk=nk,
                                  key=cell_key, sweep=sweep)
-            z2, ndk_cell, local_counts, _ = deferred_local_counts(
+            z2, ndk_cell, local_counts, _, _ = deferred_local_counts(
                 state, tw, tdl, tm, d0_, rg_, wl8, ts_, alpha_t, beta_t,
                 block_size=block_size, d_loc=d_loc, row_tile=row_tile,
                 noise_mode=noise_mode, pallas_interpret=pallas_interpret,

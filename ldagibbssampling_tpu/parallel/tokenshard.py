@@ -159,7 +159,7 @@ def _make_deferred_token_sweep_fn(model, mesh, layout, *, twj, tdj, tmj,
             z, ndk, nwk, nk, sweep = carry
             state = SamplerState(z=z, ndk=ndk, nwk=nwk, nk=nk,
                                  key=shard_key, sweep=sweep)
-            z2, ndk_local, local_counts, _ = deferred_local_counts(
+            z2, ndk_local, local_counts, _, _ = deferred_local_counts(
                 state, tw, tdl, tm, d0_, rg_, wl8, ts_, alpha_t, beta_t,
                 block_size=block_size, d_loc=d_loc, row_tile=row_tile,
                 noise_mode=noise_mode, pallas_interpret=interpret,

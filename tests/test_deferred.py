@@ -153,6 +153,27 @@ def test_deferred_sweep_seeded_determinism():
     np.testing.assert_array_equal(np.asarray(a.z), np.asarray(b.z))
 
 
+def test_deferred_mirror_carry_matches_per_sweep_dispatch():
+    # a batched num_sweeps=2 dispatch reuses the rebuild kernel's ride-along
+    # bf16 mirror for sweep 2; per-sweep dispatches re-cast it from the int32
+    # table.  Both casts round the same exact integers, so the chains must be
+    # bitwise identical.
+    tw, td, dl = _corpus(seed=7)
+    plan = plan_deferred(tw, td, V, BLOCK, v_loc=64, tile=128)
+    state = init_state(
+        plan.token_word, plan.token_doc, plan.token_mask,
+        num_docs=dl.shape[0], vocab_size=V, num_topics=K, seed=3,
+    )
+    batched = _make_run(plan, dl, num_sweeps=2)(state)
+    one = _make_run(plan, dl, num_sweeps=1)
+    stepped = one(one(state))
+    np.testing.assert_array_equal(np.asarray(batched.z), np.asarray(stepped.z))
+    np.testing.assert_array_equal(
+        np.asarray(batched.nwk), np.asarray(stepped.nwk))
+    np.testing.assert_array_equal(
+        np.asarray(batched.ndk), np.asarray(stepped.ndk))
+
+
 def test_deferred_guard_word_frequency():
     # deferred rebuild accumulates cells in f32: reject max word freq >= 2^24
     tw, td, dl = _corpus(seed=4)

@@ -267,7 +267,7 @@ def local(tw, tm, tdl, d0, rg, wl, ts, z, ndk, nwk, nk, key):
     skey = jax.random.fold_in(key, lax.axis_index("data"))
     st = SamplerState(z=z[0], ndk=ndk[0], nwk=nwk, nk=nk, key=skey,
                       sweep=jnp.int32(0))
-    z2, ndk2, local_counts, _ = deferred_local_counts(
+    z2, ndk2, local_counts, _, _ = deferred_local_counts(
         st, tw, tdl, tm, d0_, rg_, wl8, ts_,
         jnp.float32(0.5), jnp.float32(0.1),
         block_size=lay["block_size"], d_loc=lay["d_loc"],
