@@ -116,6 +116,13 @@ def rung3(scale: float, sweeps: int = 10) -> dict:
     n_dev = len(jax.devices())
     cfg = LdaConfig(topic_num=100, seed=0, block_size=65_536)
     model = ShardedLda(cfg, corpus, num_shards=n_dev)
+    # TWO warmup dispatches: the first compiles; the second pays a one-time
+    # relayout respecialization (the first dispatch's outputs feed back as
+    # inputs with XLA-chosen layouts — measured ~3 s on v5e, after which the
+    # steady state is ~109M tok/s at this shape).  Timing from the third
+    # dispatch measures the product's amortized throughput.
+    model.sweep(1)
+    _block(model)
     model.sweep(1)
     _block(model)
     t0 = time.perf_counter()
