@@ -325,7 +325,14 @@ def make_sharded_sweep_fn(
         jd0 = jax.device_put(
             jnp.zeros((shards.num_shards, 1), jnp.int32), shard_sh)
 
-    run_impl = jax.jit(fn)
+    # Pin output shardings to the canonical in_spec shardings.  Without
+    # this, GSPMD on a 1-device mesh may canonicalize an output's sharding
+    # to a content-equivalent but DIFFERENT NamedSharding (P() vs P(axis)),
+    # so feeding outputs back as inputs respecializes the executable — a
+    # measured one-time ~20 s recompile on the second dispatch.
+    repl_sh = NamedSharding(mesh, P())
+    run_impl = jax.jit(
+        fn, out_shardings=(shard_sh, shard_sh, repl_sh, repl_sh, repl_sh))
 
     def run(z, ndk, nwk, nk, key, sweep, n_sweeps=None, alpha_v=None, beta_v=None):
         # α/β are traced scalars so Minka updates never recompile
@@ -418,7 +425,11 @@ def _make_deferred_sharded_sweep_fn(
         out_specs=(sharded, sharded, repl, repl, repl),
         check_vma=False,
     )
-    run_impl = jax.jit(fn)
+    # out_shardings pinned: see make_sharded_sweep_fn (avoids the one-time
+    # second-dispatch respecialization when outputs feed back as inputs)
+    repl_sh = NamedSharding(mesh, P())
+    run_impl = jax.jit(
+        fn, out_shardings=(shard_sh, shard_sh, repl_sh, repl_sh, repl_sh))
 
     def run(z, ndk, nwk, nk, key, sweep, n_sweeps=None, alpha_v=None, beta_v=None):
         n = jnp.int32(num_sweeps if n_sweeps is None else n_sweeps)
@@ -523,7 +534,9 @@ class ShardedLda:
         self.ndk = jax.device_put(jnp.asarray(ndk), shard_sharding)
         self.nwk = jax.device_put(jnp.asarray(nwk), repl_sharding)
         self.nk = jax.device_put(jnp.asarray(nk), repl_sharding)
-        self.sweep_idx = jnp.int32(0)
+        # committed replicated scalar: the sweep fn returns it with this
+        # sharding, so the input sharding never changes across dispatches
+        self.sweep_idx = jax.device_put(jnp.int32(0), repl_sharding)
         # live hyperparameters (Minka optimization moves them; sweeps trace them)
         self.alpha = float(config.alpha)
         self.beta = float(config.beta)

@@ -94,7 +94,8 @@ class ShardedChainSet:
         self.ndk = jax.device_put(jnp.asarray(ndk), spec("chain", "data"))
         self.nwk = jax.device_put(jnp.asarray(nwk), spec("chain"))
         self.nk = jax.device_put(jnp.asarray(nk), spec("chain"))
-        self.sweep_idx = jnp.int32(0)
+        # committed replicated scalar (matches the pinned output sharding)
+        self.sweep_idx = jax.device_put(jnp.int32(0), spec())
 
         # tokens replicated over 'chain', sharded over 'data'
         tok = spec("data")
@@ -142,7 +143,11 @@ class ShardedChainSet:
                        P("chain"), P("chain"), P()),
             check_vma=False,
         )
-        run_impl = jax.jit(fn)
+        # out_shardings pinned (see parallel/adlda.py: feeding outputs back
+        # as inputs must not change the input sharding signature)
+        run_impl = jax.jit(fn, out_shardings=(
+            spec("chain", "data"), spec("chain", "data"),
+            spec("chain"), spec("chain"), spec()))
 
         def run(z, ndk, nwk, nk, key, sweep, n_sweeps=1, alpha_v=None,
                 beta_v=None):

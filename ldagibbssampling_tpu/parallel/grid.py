@@ -474,7 +474,18 @@ def make_grid_sweep_fn(
         check_vma=False,
     )
 
-    run_impl = jax.jit(fn)
+    # out_shardings pinned to the out_specs' NamedShardings: without this,
+    # GSPMD on small meshes may canonicalize an output's sharding to a
+    # content-equivalent but different one, and feeding outputs back as
+    # inputs respecializes the executable (one-time ~20 s recompile on the
+    # second dispatch — see parallel/adlda.py).
+    run_impl = jax.jit(fn, out_shardings=(
+        NamedSharding(mesh, P("data", "vocab")),
+        NamedSharding(mesh, P("data")),
+        NamedSharding(mesh, P("vocab")),
+        NamedSharding(mesh, P()),
+        NamedSharding(mesh, P()),
+    ))
 
     def run(z, ndk, nwk, nk, key, sweep, n_sweeps=None, alpha_v=None, beta_v=None):
         # α/β are traced scalars so Minka updates never recompile
@@ -561,7 +572,15 @@ def _make_deferred_grid_sweep_fn(
         out_specs=(g, P("data"), P("vocab"), P(), P()),
         check_vma=False,
     )
-    run_impl = jax.jit(fn)
+    # out_shardings pinned: see make_grid_sweep_fn (avoids the one-time
+    # second-dispatch respecialization when outputs feed back as inputs)
+    run_impl = jax.jit(fn, out_shardings=(
+        NamedSharding(mesh, g),
+        NamedSharding(mesh, P("data")),
+        NamedSharding(mesh, P("vocab")),
+        NamedSharding(mesh, P()),
+        NamedSharding(mesh, P()),
+    ))
 
     def run(z, ndk, nwk, nk, key, sweep, n_sweeps=None, alpha_v=None, beta_v=None):
         n = jnp.int32(num_sweeps if n_sweeps is None else n_sweeps)
@@ -674,7 +693,9 @@ class GridLda:
         self.ndk = jax.device_put(jnp.asarray(ndk), spec("data"))
         self.nwk = jax.device_put(jnp.asarray(nwk), spec("vocab"))
         self.nk = jax.device_put(jnp.asarray(nk), spec())
-        self.sweep_idx = jnp.int32(0)
+        # committed replicated scalar: matches the sweep fn's pinned output
+        # sharding so the input signature never changes across dispatches
+        self.sweep_idx = jax.device_put(jnp.int32(0), spec())
         # live hyperparameters (Minka optimization moves them; sweeps trace them)
         self.alpha = float(config.alpha)
         self.beta = float(config.beta)

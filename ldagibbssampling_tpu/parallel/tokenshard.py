@@ -185,7 +185,12 @@ def _make_deferred_token_sweep_fn(model, mesh, layout, *, twj, tdj, tmj,
         out_specs=(sharded, repl, repl, repl, repl),
         check_vma=False,
     )
-    run_impl = jax.jit(fn)
+    # out_shardings pinned: feeding outputs back as inputs must not change
+    # the input sharding signature (one-time ~20 s respecialization
+    # otherwise — see parallel/adlda.py)
+    repl_sh = NamedSharding(mesh, P())
+    run_impl = jax.jit(
+        fn, out_shardings=(shard_sh, repl_sh, repl_sh, repl_sh, repl_sh))
 
     def run(z, ndk, nwk, nk, key, sweep, n_sweeps=1, alpha_v=None, beta_v=None):
         a = jnp.float32(model.alpha if alpha_v is None else alpha_v)
@@ -291,7 +296,9 @@ class TokenShardedLda:
         self.ndk = jax.device_put(jnp.asarray(ndk), repl)
         self.nwk = jax.device_put(jnp.asarray(nwk), repl)
         self.nk = jax.device_put(jnp.asarray(nk), repl)
-        self.sweep_idx = jnp.int32(0)
+        # committed replicated scalar: matches the sweep fn's pinned output
+        # sharding so the input signature never changes across dispatches
+        self.sweep_idx = jax.device_put(jnp.int32(0), repl)
 
         shard_sh = NamedSharding(mesh, P(axis))
         repl_sh = NamedSharding(mesh, P())
@@ -351,7 +358,11 @@ class TokenShardedLda:
             check_vma=False,
         )
 
-        run_impl = jax.jit(fn)
+        # out_shardings pinned (see the deferred tier above / parallel/adlda.py)
+        run_impl = jax.jit(fn, out_shardings=(
+            NamedSharding(mesh, P(axis)), NamedSharding(mesh, P()),
+            NamedSharding(mesh, P()), NamedSharding(mesh, P()),
+            NamedSharding(mesh, P())))
 
         def run(z, ndk, nwk, nk, key, sweep, n_sweeps=1, alpha_v=None, beta_v=None):
             a = jnp.float32(self.alpha if alpha_v is None else alpha_v)
