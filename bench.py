@@ -82,11 +82,13 @@ def main() -> None:
         tw, td, tm, num_docs=NUM_DOCS, vocab_size=VOCAB,
         num_topics=NUM_TOPICS, seed=0,
     )
-    # one batched dispatch of TIMED_SWEEPS sweeps — the product's steady
-    # state (runner.py batches unrecorded sweeps between metric checkpoints
-    # into one dispatch), and what lets the deferred tier carry the rebuild
-    # kernel's ride-along bf16 mirror across sweeps instead of re-casting
-    # [V, K] each sweep
+    # TIMED_SWEEPS sweeps per run() call — the product's steady state
+    # (runner.py batches unrecorded sweeps between metric checkpoints).  The
+    # XLA/fused tiers run them as one in-compilation fori_loop (one
+    # dispatch); the deferred tier issues TIMED_SWEEPS async back-to-back
+    # dispatches of its jitted per-sweep impl with the rebuild kernel's
+    # ride-along bf16 mirror carried between them (no per-sweep [V, K]
+    # re-cast) — the sweeps pipeline on the device queue either way
     run = make_sweep_fn(
         tw, td, tm, dl, alpha=0.5, beta=0.1,
         block_size=BLOCK_SIZE, draw_method="gumbel", num_sweeps=TIMED_SWEEPS,

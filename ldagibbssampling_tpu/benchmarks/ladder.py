@@ -121,10 +121,12 @@ def rung3(scale: float, sweeps: int = 10) -> dict:
     # inputs with XLA-chosen layouts — measured ~3 s on v5e, after which the
     # steady state is ~109M tok/s at this shape).  Timing from the third
     # dispatch measures the product's amortized throughput.
+    tw = time.perf_counter()
     model.sweep(1)
     _block(model)
     model.sweep(1)
     _block(model)
+    warmup_s = time.perf_counter() - tw  # compile + relayout, for end-to-end
     t0 = time.perf_counter()
     model.sweep(sweeps)
     _block(model)
@@ -135,6 +137,7 @@ def rung3(scale: float, sweeps: int = 10) -> dict:
         "K": 100, "tokens": corpus.num_tokens, "devices": n_dev,
         "sweeps": sweeps, "kernel_tier": model.kernel_tier,
         "tokens_per_s": sweeps * corpus.num_tokens / max(dt, 1e-9),
+        "warmup_s": warmup_s,  # first two dispatches (compile + relayout)
         "counts_consistent": True,
     }
 

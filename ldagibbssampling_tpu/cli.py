@@ -20,7 +20,7 @@ import time
 from pathlib import Path
 
 from ldagibbssampling_tpu import conf
-from ldagibbssampling_tpu.config import LdaConfig
+from ldagibbssampling_tpu.config import LdaConfig, ReferenceGuardError
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -63,7 +63,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="skip artifact writing (timing / benchmark runs)")
     # observability (SURVEY.md §5; none of these exist in the reference)
     ap.add_argument("--metrics-file", default=None,
-                    help="append per-sweep JSONL metrics (throughput, LL) here")
+                    help="append JSONL metrics (throughput, LL) here")
+    ap.add_argument("--metrics-every", type=int, default=1,
+                    help="metrics row cadence in sweeps (default 1). Values "
+                         ">1 let the runner batch sweeps into one device "
+                         "dispatch between rows — per-dispatch latency is "
+                         "~300 ms on remote TPU platforms, so per-sweep rows "
+                         "can cost >10x at small sweep times; throughput is "
+                         "averaged over the batch")
     ap.add_argument("--ll-every", type=int, default=0,
                     help="compute training log-likelihood/perplexity every N sweeps")
     ap.add_argument("--optimize-hyper-every", type=int, default=0,
@@ -189,13 +196,15 @@ def main(argv=None) -> int:
         try:
             run_inference(
                 model, cfg, corpus, result_dir, progress=progress,
-                metrics=metrics, ll_every=args.ll_every,
+                metrics=metrics, metrics_every=args.metrics_every,
+                ll_every=args.ll_every,
                 optimize_hyper_every=args.optimize_hyper_every,
                 checkpoint_dir=args.checkpoint_dir,
                 checkpoint_every=args.checkpoint_every,
             )
-        except ValueError as e:
-            # the reference's iterations < saveStep + beginSaveIters guard hard-exits
+        except ReferenceGuardError as e:
+            # the reference's iterations < saveStep + beginSaveIters guard
+            # hard-exits; anything else is a real bug and must traceback
             print(f"error: {e}", file=sys.stderr)
             return 2
     dt = time.perf_counter() - t0

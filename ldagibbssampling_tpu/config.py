@@ -18,6 +18,12 @@ from pathlib import Path
 from typing import Any, Mapping
 
 
+class ReferenceGuardError(ValueError):
+    """The reference's ``iterations < saveStep + beginSaveIters`` hard-exit
+    (``LdaModel.inferenceModel`` guard), surfaced as a typed error so the CLI
+    can distinguish it from genuine internal failures."""
+
+
 @dataclasses.dataclass
 class LdaConfig:
     # --- the reference's six knobs (names per LdaGibbsSampling.parameters enum) ---
@@ -65,7 +71,7 @@ class LdaConfig:
     # (LdaModel.inferenceModel guard). We validate instead of System.exit.
     def validate_reference_guard(self) -> None:
         if self.iteration < self.save_step + self.begin_save_iters:
-            raise ValueError(
+            raise ReferenceGuardError(
                 "iteration must be >= save_step + begin_save_iters "
                 f"({self.iteration} < {self.save_step} + {self.begin_save_iters}); "
                 "the reference exits with an error here"

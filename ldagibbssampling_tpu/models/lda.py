@@ -110,9 +110,21 @@ class LdaModel:
     def sweep(self, n: int = 1) -> None:
         if self._oracle is not None:
             self._oracle.sweep(n)
-        else:
+            return
+        with_mirror = getattr(self._run_sweeps, "with_mirror", None)
+        if with_mirror is not None:
+            # deferred tier: carry the rebuild kernel's ride-along bf16
+            # gather snapshot ACROSS sweep() calls, so only the very first
+            # sweep (or the first after a checkpoint restore) pays the
+            # [V, K] pad+cast (~2 ms at V=50k, K=500 — 10% of a sweep)
+            mirror = getattr(self, "_mirror", None)
             for _ in range(n):
-                self.state = self._run_sweeps(self.state, self.alpha, self.beta)
+                self.state, mirror = with_mirror(
+                    self.state, self.alpha, self.beta, mirror)
+            self._mirror = mirror
+            return
+        for _ in range(n):
+            self.state = self._run_sweeps(self.state, self.alpha, self.beta)
 
     def optimize_hyperparameters(self, iters: int = 5) -> tuple[float, float]:
         """Minka fixed-point update of (α, β) from the current count tables
@@ -227,6 +239,7 @@ class LdaModel:
         from ldagibbssampling_tpu.lda_io.checkpoint import restore_run
 
         self.state, self.alpha, self.beta = restore_run(directory, self.state)
+        self._mirror = None  # bf16 gather snapshot is stale after a restore
         return int(self.state.sweep)
 
     # ------------------------------------------------------------------

@@ -464,7 +464,11 @@ def _deferred_sweep_impl(
         noise_mode=noise_mode, pallas_interpret=pallas_interpret,
         vocab_size=vocab_size, v_loc=v_loc, v_pad=v_pad, tile=tile,
         mirror_dtype=mirror_dtype, slab_split=slab_split,
-        mirror=mirror, emit_mirror=True,
+        mirror=mirror,
+        # the rebuild kernel's ride-along mirror is bf16-only; the f32
+        # ablation path (mirror_dtype='float32') falls back to the per-sweep
+        # cast (mirror_out=None)
+        emit_mirror=(mirror_dtype == "bfloat16"),
     )
     count_dtype = state.nwk.dtype
     # exact topic totals (the fused kernel's running f32 nk is a sampling
@@ -522,8 +526,10 @@ def deferred_local_counts(
     psums the per-shard local tables over the data axis (global counts are the
     sum of shard-local counts — no delta bookkeeping needed).  ``state.nwk``
     is only READ, as the sweep-stale snapshot (``mirror_dtype`` cast) — or,
-    when ``mirror`` is passed (``[v_pad, k_pad]`` ``mirror_dtype``, the
-    previous call's ``mirror_out``), not touched at all.  ``mirror_out`` is
+    when ``mirror`` is passed (``mirror_dtype``, ``[v_pad, k_pad]`` from the
+    previous call's ``mirror_out``; the internal fresh cast is ``[V, k_pad]``
+    — both gather correctly since indices are < V and padded rows are zero),
+    not touched at all.  ``mirror_out`` is
     the rebuild kernel's ride-along bf16 cast of ``local_counts`` when
     ``emit_mirror=True`` (single-chip multi-sweep dispatches), else ``None``
     (mesh runtimes: a shard-local mirror is not the global table — they cast
@@ -740,13 +746,17 @@ def make_sweep_fn(
         # kernel can skip the hi/lo slab split (1/3 of its MXU cost)
         slab_split = max_doc_len > 256
 
-        def run_deferred(state: SamplerState, alpha=alpha, beta=beta) -> SamplerState:
+        def run_with_mirror(state: SamplerState, alpha, beta, mirror):
+            """``num_sweeps`` sweeps carrying the bf16 gather snapshot.
+
+            The rebuild kernel emits the NEXT sweep's snapshot as a
+            ride-along output, so only the first sweep after a cold start
+            (``mirror=None``) pays the [V, K] pad+cast (~2 ms at V=50k,
+            K=500 on v5e).  Callers that own the state between calls (e.g.
+            ``models/lda.LdaModel``) pass the returned mirror back in to
+            skip the cast on EVERY sweep, not just within one call."""
             a = jnp.asarray(alpha, jnp.float32)
             b = jnp.asarray(beta, jnp.float32)
-            # the rebuild kernel emits the NEXT sweep's bf16 gather snapshot
-            # as a ride-along output, so only the dispatch's first sweep pays
-            # the [V, K] pad+cast (~2 ms at V=50k, K=500 on v5e)
-            mirror = None
             for _ in range(num_sweeps):
                 state, mirror = _deferred_sweep_impl(
                     state, jtw, tdl, jtm, jd0, jrg, jwl, jts, a, b,
@@ -755,9 +765,18 @@ def make_sweep_fn(
                     vocab_size=None, v_loc=plan.v_loc, v_pad=plan.v_pad,
                     tile=plan.tile, slab_split=slab_split, mirror=mirror,
                 )
+            return state, mirror
+
+        def run_deferred(state: SamplerState, alpha=alpha, beta=beta) -> SamplerState:
+            # back-to-back async dispatches of the jitted per-sweep impl,
+            # with the ride-along mirror carried between them (NOT one
+            # batched in-compilation loop like the XLA/fused tiers — the
+            # sweeps still pipeline on the device queue)
+            state, _ = run_with_mirror(state, alpha, beta, None)
             return state
 
         run_deferred.kernel_tier = "deferred"
+        run_deferred.with_mirror = run_with_mirror
         return run_deferred
 
     if use_pallas == "fused":

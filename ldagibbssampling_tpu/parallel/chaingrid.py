@@ -297,11 +297,28 @@ class ShardedChainSet:
             [self.chain_phi(ci) for ci in range(self.num_chains)])
         self.phi_accum.add(phis, half)
 
+    def record_phi_auto(self) -> None:
+        """Pair-safe doubling-window recording — the product-path variant
+        (see ``models/chains.ChainSet.record_phi_auto``): never raises at odd
+        draw counts, and re-windows so the init transient is burn-in."""
+        from ldagibbssampling_tpu.evaluation.diagnostics import (
+            PhiRhatWindowedAccumulator)
+
+        if getattr(self, "phi_window", None) is None:
+            self.phi_window = PhiRhatWindowedAccumulator(
+                self.num_chains, self.config.topic_num,
+                self.corpus.vocab_size)
+        phis = np.stack(
+            [self.chain_phi(ci) for ci in range(self.num_chains)])
+        self.phi_window.add(phis)
+
     def r_hat_phi(self) -> dict:
         from ldagibbssampling_tpu.evaluation.diagnostics import r_hat_phi
 
         if len(self.phi_trace) >= 4:
             return r_hat_phi(np.stack(self.phi_trace, axis=1))
+        if getattr(self, "phi_window", None) is not None:
+            return self.phi_window.result()
         if getattr(self, "phi_accum", None) is not None:
             return self.phi_accum.result()
         return {"max": float("nan"), "p99": float("nan"),
@@ -337,7 +354,8 @@ class ShardedChainModel:
     Artifacts (φ, θ, z) come from chain 0 (the reference's single-chain
     output contract); all chains advance for the R̂ diagnostics, which the
     runner logs when ``--metrics-file`` is set.  φ draws for R̂(φ) fold into
-    the O(C·K·V) running accumulator on a fixed half-alternating schedule.
+    the O(C·K·V) doubling-window accumulator (pair-safe; early windows become
+    burn-in — ``evaluation.diagnostics.PhiRhatWindowedAccumulator``).
     """
 
     def __init__(self, config: LdaConfig, corpus: FlatCorpus,
@@ -352,8 +370,9 @@ class ShardedChainModel:
 
     def sweep(self, n: int = 1) -> None:
         self.chains.sweep(n, record_ll=True)
-        # alternate halves so the accumulator stays balanced at any horizon
-        self.chains.record_phi(half=self._phi_draws % 2)
+        # pair-safe doubling-window recording: valid at every horizon (odd
+        # draw counts included), init transient re-windowed into burn-in
+        self.chains.record_phi_auto()
         self._phi_draws += 1
 
     @property

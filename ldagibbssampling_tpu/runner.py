@@ -53,6 +53,7 @@ def run_inference(
     result_dir: Optional[str | Path] = None,
     progress: Optional[Callable[[int], None]] = None,
     metrics: Optional["MetricsLog"] = None,
+    metrics_every: int = 1,
     ll_every: int = 0,
     optimize_hyper_every: int = 0,
     checkpoint_dir: Optional[str | Path] = None,
@@ -62,8 +63,13 @@ def run_inference(
 
     Extensions over the reference (all opt-in, SURVEY.md §5):
 
-    - ``metrics`` + ``ll_every``: per-sweep throughput and (every ``ll_every``
+    - ``metrics`` + ``ll_every``: throughput rows and (every ``ll_every``
       sweeps) training log-likelihood/perplexity into a JSONL sink.
+      ``metrics_every`` sets the row cadence: 1 (default) logs every sweep but
+      forces one device dispatch per sweep (~300 ms each on remote TPU
+      platforms — can dominate a 20 ms sweep); N>1 lets the loop batch N
+      sweeps per dispatch and logs chunk-averaged throughput; 0 never forces a
+      boundary (rows only at save/checkpoint/hyper boundaries).
     - ``optimize_hyper_every``: Minka fixed-point (α, β) updates every N
       sweeps, for backends exposing ``optimize_hyperparameters``.
     - ``checkpoint_dir`` + ``checkpoint_every``: orbax checkpoints every N
@@ -95,8 +101,10 @@ def run_inference(
             n % checkpoint_every == 0
         ):
             return True
-        if metrics is not None:
-            return True  # per-sweep throughput requested
+        if metrics is not None and metrics_every > 0 and n % metrics_every == 0:
+            return True  # a metrics row is due after sweep i
+        if metrics is not None and ll_every > 0 and n % ll_every == 0:
+            return True  # LL / R̂(φ) row due (its own cadence)
         return False
 
     i = start
@@ -135,7 +143,13 @@ def run_inference(
         ):
             backend.save_checkpoint(checkpoint_dir)
         if metrics is not None:
-            scalars = {"tokens_per_s": timer.last_tokens_per_s}  # chunk == 1 here
+            # chunk-averaged throughput: `chunk` sweeps ran in one dispatch
+            scalars = {
+                "tokens_per_s": chunk * corpus.num_tokens
+                / max(timer.times[-1], 1e-12),
+            }
+            if chunk > 1:
+                scalars["sweeps_in_chunk"] = chunk
             if ll_every > 0 and (i_last + 1) % ll_every == 0:
                 dev_ll = getattr(backend, "device_log_likelihood", None)
                 if callable(dev_ll):
