@@ -213,6 +213,7 @@ class MultiChainModel:
         self.config = config
         self.corpus = corpus
         self.chains = ChainSet(config, corpus, num_chains=max(2, config.chains))
+        self.kernel_tier = "xla"  # ChainSet runs the vmapped XLA sweep
         self._sweeps = 0
         self._phi_draws = 0
 

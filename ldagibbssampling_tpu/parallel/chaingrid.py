@@ -65,6 +65,48 @@ class ShardedChainSet:
         block = min(block, self.shards.tokens_per_shard)
         self.block_size = block
 
+        # kernel tier: the deferred-nwk fast path re-lays out each shard's
+        # token stream (stripe-aligned blocks), so it must be resolved BEFORE
+        # state init — same contract as parallel/adlda.ShardedLda
+        from ldagibbssampling_tpu.ops.gibbs import warn_tier_downgrade
+        from ldagibbssampling_tpu.parallel.adlda import deferred_shard_layout
+
+        use_pallas = getattr(config, "use_pallas", False)
+        interpret = bool(getattr(config, "pallas_interpret", False))
+        self._interpret = interpret
+        if use_pallas == "fused":
+            use_pallas = "deferred"  # chain runtime has no separate fused tier
+        elif use_pallas is True:
+            warn_tier_downgrade(
+                True, False,
+                "chain runtime supports tiers {0, deferred}; v1 draw kernel "
+                "not wired here")
+            use_pallas = False
+        if use_pallas == "deferred" and config.draw_method != "gumbel":
+            warn_tier_downgrade(
+                use_pallas, False,
+                f"draw_method {config.draw_method!r} needs the XLA sweep")
+            use_pallas = False
+        if use_pallas and jax.default_backend() != "tpu" and not interpret:
+            warn_tier_downgrade(
+                use_pallas, False,
+                f"platform is {jax.default_backend()!r}, not tpu")
+            use_pallas = False
+        if use_pallas and block < 128:
+            warn_tier_downgrade(
+                use_pallas, False, f"block_size {block} < 128 (no Mosaic tile)")
+            use_pallas = False
+        self._dlayout = None
+        if use_pallas == "deferred":
+            layout, reason = deferred_shard_layout(
+                self.shards, block, config.topic_num)
+            if layout is None:
+                warn_tier_downgrade("deferred", False, reason)
+                use_pallas = False
+            else:
+                self.shards, self._dlayout = layout
+        self._use_pallas = use_pallas
+
         k = config.topic_num
         v = corpus.vocab_size
         m_s = self.shards.docs_per_shard
@@ -108,55 +150,133 @@ class ShardedChainSet:
         self.alpha = float(config.alpha)
         self.beta = float(config.beta)
 
-        def local(tw, td, tm, dl, z, ndk, nwk, nk, key, sweep, n_sweeps,
-                  alpha_t, beta_t):
-            tw, td, tm, dl = tw[0], td[0], tm[0], dl[0]
-            ci = lax.axis_index("chain")
-            si = lax.axis_index("data")
-            cell_key = jax.random.fold_in(jax.random.fold_in(key, ci), si)
+        if self._dlayout is not None:
+            # deferred-nwk tier: each (chain, shard) cell samples against its
+            # chain's sweep-stale replica snapshot, rebuilds its LOCAL
+            # word-topic table on the MXU (ops/count_kernel.build_nwk), and
+            # the chain's global table is one psum of the local tables over
+            # 'data' ONLY — zero collectives between chains (same
+            # reconciliation contract as adlda._make_deferred_sharded_sweep_fn)
+            from ldagibbssampling_tpu.ops.count_kernel import replicate_rows
+            from ldagibbssampling_tpu.ops.gibbs import deferred_local_counts
 
-            def one(_, carry):
-                z, ndk, nwk, nk, sweep = carry
-                st = SamplerState(z=z, ndk=ndk, nwk=nwk, nk=nk,
-                                  key=cell_key, sweep=sweep)
-                new = gibbs_sweep(
-                    st, tw, td, tm, dl,
-                    alpha=alpha_t, beta=beta_t, block_size=block,
-                    draw_method=config.draw_method,
+            lay = self._dlayout
+            nt, tile = lay["num_tiles"], lay["tile"]
+            d_loc, row_tile = lay["d_loc"], lay["row_tile"]
+            v_loc, v_pad = lay["v_loc"], lay["v_pad"]
+            slab_split = lay["slab_split"]
+            noise_mode = "external" if interpret else "internal"
+            tdl = jax.device_put(jnp.asarray(lay["d_local"]), tok)
+            jd0 = jax.device_put(jnp.asarray(lay["d0"]), tok)
+            jrg = jax.device_put(jnp.asarray(lay["row_gather_idx"]), tok)
+            jwl = jax.device_put(
+                jnp.asarray(lay["w_local"].reshape(p, nt, tile)), tok)
+            jts = jax.device_put(jnp.asarray(lay["tile_stripe"]), tok)
+
+            def local_def(tw, tm, tdl, jd0, jrg, jwl, jts, z, ndk, nwk, nk,
+                          key, sweep, n_sweeps, alpha_t, beta_t):
+                tw, tm, tdl = tw[0], tm[0], tdl[0]
+                d0_, rg_, ts_ = jd0[0], jrg[0], jts[0]
+                wl8 = replicate_rows(jwl[0])  # lane-major, built on device
+                ci = lax.axis_index("chain")
+                si = lax.axis_index("data")
+                cell_key = jax.random.fold_in(jax.random.fold_in(key, ci), si)
+
+                def one(_, carry):
+                    z, ndk, nwk, nk, sweep = carry
+                    st = SamplerState(z=z, ndk=ndk, nwk=nwk, nk=nk,
+                                      key=cell_key, sweep=sweep)
+                    z2, ndk2, local_counts, _, _ = deferred_local_counts(
+                        st, tw, tdl, tm, d0_, rg_, wl8, ts_, alpha_t, beta_t,
+                        block_size=block, d_loc=d_loc, row_tile=row_tile,
+                        noise_mode=noise_mode, pallas_interpret=interpret,
+                        vocab_size=None, v_loc=v_loc, v_pad=v_pad, tile=tile,
+                        slab_split=slab_split,
+                    )
+                    # chain-global counts = psum of shard-local tables
+                    nwk2 = lax.psum(local_counts, "data").astype(nwk.dtype)
+                    nk2 = jnp.sum(nwk2, axis=0)
+                    return z2, ndk2, nwk2, nk2, sweep + 1
+
+                z, ndk, nwk, nk, sweep = lax.fori_loop(
+                    0, n_sweeps, one, (z[0, 0], ndk[0, 0], nwk[0], nk[0], sweep)
                 )
-                # AD-LDA reconciliation within the chain ONLY: psum over 'data'
-                nwk = nwk + lax.psum(new.nwk - nwk, "data")
-                nk = nk + lax.psum(new.nk - nk, "data")
-                return new.z, new.ndk, nwk, nk, new.sweep
+                return z[None, None], ndk[None, None], nwk[None], nk[None], sweep
 
-            z, ndk, nwk, nk, sweep = lax.fori_loop(
-                0, n_sweeps, one, (z[0, 0], ndk[0, 0], nwk[0], nk[0], sweep)
+            fn = shard_map(
+                local_def, mesh=mesh,
+                in_specs=(P("data"),) * 7 + (
+                    P("chain", "data"), P("chain", "data"),
+                    P("chain"), P("chain"), P(), P(), P(), P(), P()),
+                out_specs=(P("chain", "data"), P("chain", "data"),
+                           P("chain"), P("chain"), P()),
+                check_vma=False,
             )
-            return z[None, None], ndk[None, None], nwk[None], nk[None], sweep
+            run_impl = jax.jit(fn, out_shardings=(
+                spec("chain", "data"), spec("chain", "data"),
+                spec("chain"), spec("chain"), spec()))
 
-        fn = shard_map(
-            local, mesh=mesh,
-            in_specs=(P("data"), P("data"), P("data"), P("data"),
-                      P("chain", "data"), P("chain", "data"),
-                      P("chain"), P("chain"), P(), P(), P(), P(), P()),
-            out_specs=(P("chain", "data"), P("chain", "data"),
-                       P("chain"), P("chain"), P()),
-            check_vma=False,
-        )
-        # out_shardings pinned (see parallel/adlda.py: feeding outputs back
-        # as inputs must not change the input sharding signature)
-        run_impl = jax.jit(fn, out_shardings=(
-            spec("chain", "data"), spec("chain", "data"),
-            spec("chain"), spec("chain"), spec()))
+            def run(z, ndk, nwk, nk, key, sweep, n_sweeps=1, alpha_v=None,
+                    beta_v=None):
+                a = jnp.float32(self.alpha if alpha_v is None else alpha_v)
+                b = jnp.float32(self.beta if beta_v is None else beta_v)
+                return run_impl(tw, tm, tdl, jd0, jrg, jwl, jts,
+                                z, ndk, nwk, nk, key, sweep,
+                                jnp.int32(n_sweeps), a, b)
 
-        def run(z, ndk, nwk, nk, key, sweep, n_sweeps=1, alpha_v=None,
-                beta_v=None):
-            a = jnp.float32(self.alpha if alpha_v is None else alpha_v)
-            b = jnp.float32(self.beta if beta_v is None else beta_v)
-            return run_impl(tw, td, tm, dl, z, ndk, nwk, nk, key, sweep,
-                            jnp.int32(n_sweeps), a, b)
+            self._sweep_fn = run
+            self.kernel_tier = "deferred"
+        else:
+            def local(tw, td, tm, dl, z, ndk, nwk, nk, key, sweep, n_sweeps,
+                      alpha_t, beta_t):
+                tw, td, tm, dl = tw[0], td[0], tm[0], dl[0]
+                ci = lax.axis_index("chain")
+                si = lax.axis_index("data")
+                cell_key = jax.random.fold_in(jax.random.fold_in(key, ci), si)
 
-        self._sweep_fn = run
+                def one(_, carry):
+                    z, ndk, nwk, nk, sweep = carry
+                    st = SamplerState(z=z, ndk=ndk, nwk=nwk, nk=nk,
+                                      key=cell_key, sweep=sweep)
+                    new = gibbs_sweep(
+                        st, tw, td, tm, dl,
+                        alpha=alpha_t, beta=beta_t, block_size=block,
+                        draw_method=config.draw_method,
+                    )
+                    # AD-LDA reconciliation within the chain ONLY: psum over 'data'
+                    nwk = nwk + lax.psum(new.nwk - nwk, "data")
+                    nk = nk + lax.psum(new.nk - nk, "data")
+                    return new.z, new.ndk, nwk, nk, new.sweep
+
+                z, ndk, nwk, nk, sweep = lax.fori_loop(
+                    0, n_sweeps, one, (z[0, 0], ndk[0, 0], nwk[0], nk[0], sweep)
+                )
+                return z[None, None], ndk[None, None], nwk[None], nk[None], sweep
+
+            fn = shard_map(
+                local, mesh=mesh,
+                in_specs=(P("data"), P("data"), P("data"), P("data"),
+                          P("chain", "data"), P("chain", "data"),
+                          P("chain"), P("chain"), P(), P(), P(), P(), P()),
+                out_specs=(P("chain", "data"), P("chain", "data"),
+                           P("chain"), P("chain"), P()),
+                check_vma=False,
+            )
+            # out_shardings pinned (see parallel/adlda.py: feeding outputs back
+            # as inputs must not change the input sharding signature)
+            run_impl = jax.jit(fn, out_shardings=(
+                spec("chain", "data"), spec("chain", "data"),
+                spec("chain"), spec("chain"), spec()))
+
+            def run(z, ndk, nwk, nk, key, sweep, n_sweeps=1, alpha_v=None,
+                    beta_v=None):
+                a = jnp.float32(self.alpha if alpha_v is None else alpha_v)
+                b = jnp.float32(self.beta if beta_v is None else beta_v)
+                return run_impl(tw, td, tm, dl, z, ndk, nwk, nk, key, sweep,
+                                jnp.int32(n_sweeps), a, b)
+
+            self._sweep_fn = run
+            self.kernel_tier = "xla"
         self.ll_trace: list[np.ndarray] = []
         self.phi_trace: list[np.ndarray] = []
 
@@ -165,6 +285,14 @@ class ShardedChainSet:
               record_phi: bool = False) -> None:
         from ldagibbssampling_tpu.evaluation.metrics import log_likelihood
 
+        if not (record_ll or record_phi):
+            # unrecorded batch: ONE dispatch (traced fori bound) — per-call
+            # dispatch of a shard_map executable costs ~300 ms remote
+            self.z, self.ndk, self.nwk, self.nk, self.sweep_idx = self._sweep_fn(
+                self.z, self.ndk, self.nwk, self.nk, self._key, self.sweep_idx,
+                n_sweeps=n,
+            )
+            return
         for _ in range(n):
             self.z, self.ndk, self.nwk, self.nk, self.sweep_idx = self._sweep_fn(
                 self.z, self.ndk, self.nwk, self.nk, self._key, self.sweep_idx,
@@ -261,12 +389,20 @@ class ShardedChainSet:
         """Chain ``ci``'s topic assignments in ORIGINAL corpus token order
         (for ``.tassign`` export — the reference's output contract)."""
         z = np.asarray(self.z)[ci]
-        mask = self.shards.token_mask.astype(bool)
         doc_ptr = self.corpus.doc_ptr
         out = np.empty(self.corpus.num_tokens, z.dtype)
         for s in range(self.shards.num_shards):
+            zs = z[s]
+            if self._dlayout is not None:
+                # deferred layout: slot i holds the shard's compacted-stream
+                # token perm[s, i] (-1 = pad); undo the stripe permutation to
+                # recover the doc-ordered front-packed stream
+                perm = self._dlayout["perm"][s]
+                valid = perm >= 0
+                buf = np.empty(int(valid.sum()), zs.dtype)
+                buf[perm[valid]] = zs[valid]
+                zs = buf
             pos = 0
-            zs, ms = z[s], mask[s]
             for local, g in enumerate(self.shards.doc_map[s]):
                 if g < 0:
                     continue
@@ -378,6 +514,10 @@ class ShardedChainModel:
     @property
     def sweeps_done(self) -> int:
         return self.chains.sweeps_done
+
+    @property
+    def kernel_tier(self) -> str:
+        return self.chains.kernel_tier
 
     @property
     def alpha(self) -> float:

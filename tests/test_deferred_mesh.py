@@ -153,3 +153,47 @@ def test_tokenshard_deferred_counts_bitwise():
     assert int(np.asarray(model.nk).sum()) == fc.num_tokens
     np.testing.assert_allclose(model.phi().sum(axis=1), 1.0, rtol=1e-6)
     assert np.isfinite(model.device_log_likelihood())
+
+
+def test_chaingrid_deferred_counts_bitwise():
+    # round-4 verdict item 6: the deferred tier composed with the
+    # ('chain','data') mesh — per-(chain,shard) MXU rebuilds, psum over
+    # 'data' only, per-chain bitwise count consistency
+    from ldagibbssampling_tpu.parallel.chaingrid import ShardedChainModel
+
+    fc = _corpus(seed=11)
+    model = ShardedChainModel(_cfg(seed=5, chains=2), fc, num_chains=2,
+                              num_shards=2)
+    assert model.kernel_tier == "deferred"
+    model.sweep(2)
+    model.check_counts_consistent()
+    # z export must undo the stripe permutation (original corpus order)
+    z = model.z()
+    assert z.shape == (fc.num_tokens,)
+    assert z.min() >= 0 and z.max() < K
+    # and z must be consistent with chain 0's count tables
+    nwk0 = np.asarray(model.chains.nwk)[0]
+    nwk_ref = np.zeros_like(nwk0)
+    np.add.at(nwk_ref, (fc.token_word, z), 1)
+    np.testing.assert_array_equal(nwk0, nwk_ref)
+
+
+def test_chaingrid_deferred_matches_xla_statistics():
+    # deferred vs XLA tier on the chain mesh: same posterior region after
+    # burn-in (they are different chains — compare count-table moments)
+    from ldagibbssampling_tpu.parallel.chaingrid import ShardedChainModel
+
+    fc = _corpus(num_docs=48, seed=12)
+    m_def = ShardedChainModel(_cfg(seed=7), fc, num_chains=2, num_shards=2)
+    m_xla = ShardedChainModel(
+        _cfg(seed=7, use_pallas=False), fc, num_chains=2, num_shards=2)
+    assert m_def.kernel_tier == "deferred"
+    assert m_xla.kernel_tier == "xla"
+    m_def.sweep(30)
+    m_xla.sweep(30)
+    # compare training LL of chain 0 (both tiers should fit comparably)
+    from ldagibbssampling_tpu.evaluation.metrics import log_likelihood
+
+    ld = log_likelihood(m_def.phi(), m_def.theta(), fc) / fc.num_tokens
+    lx = log_likelihood(m_xla.phi(), m_xla.theta(), fc) / fc.num_tokens
+    assert abs(ld - lx) < 0.15, (ld, lx)

@@ -88,6 +88,6 @@ def test_cli_chains_logs_rhat(tmp_path, monkeypatch):
     assert rc == 0
     recs = read_metrics("m.jsonl")
     assert len(recs) == 7  # tier header + one row per sweep
-    assert recs[0]["kernel_tier"] == "n/a"  # multi-chain runs the XLA vmap
+    assert recs[0]["kernel_tier"] == "xla"  # multi-chain runs the XLA vmap
     recs = recs[1:]
     assert any("r_hat" in r for r in recs)  # needs >=4 recorded sweeps
