@@ -156,6 +156,33 @@ class Cvb0Model:
             zs = z_orig
         return zs[: self.corpus.num_tokens]
 
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, directory) -> int:
+        """Orbax checkpoint of the full CVB0 state (γ + expected counts).
+
+        α/β are config constants here (no Minka path on this backend), so the
+        arrays plus the sweep counter are the complete state — a restored run
+        continues the identical deterministic trajectory."""
+        from ldagibbssampling_tpu.lda_io.checkpoint import save_backend_run
+
+        arrays = {"gamma": self.gamma, "ndk": self.ndk, "nwk": self.nwk,
+                  "nk": self.nk}
+        return save_backend_run(directory, arrays, {"sweeps": self._sweeps},
+                                self._sweeps)
+
+    def restore_checkpoint(self, directory) -> int:
+        from ldagibbssampling_tpu.lda_io.checkpoint import restore_backend_run
+
+        like = {"gamma": self.gamma, "ndk": self.ndk, "nwk": self.nwk,
+                "nk": self.nk}
+        arrays, meta = restore_backend_run(directory, like)
+        self.gamma = arrays["gamma"]
+        self.ndk = arrays["ndk"]
+        self.nwk = arrays["nwk"]
+        self.nk = arrays["nk"]
+        self._sweeps = int(meta["sweeps"])
+        return self._sweeps
+
     def check_invariants(self) -> None:
         ndk = np.asarray(self.ndk, np.float64)
         nwk = np.asarray(self.nwk, np.float64)

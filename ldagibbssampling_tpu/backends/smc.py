@@ -28,6 +28,13 @@ Honest role: small corpora where a single-pass posterior (no burn-in) or
 online document arrival matters, and as the algorithmic reference for the
 particle-filter family.  For batch training at any BASELINE rung, run the
 Gibbs tiers.
+
+Checkpoint/resume is a **documented non-goal** for this backend: runs at its
+measured scale ceiling finish in minutes, and a faithful resume would have
+to snapshot every particle's count tables plus the importance weights
+mid-absorption — the cost/benefit is upside-down (the Gibbs runtimes and the
+CVB0/SVI backends all checkpoint).  The CLI refuses ``--checkpoint-every``/
+``--resume`` for this backend with a clean error.
 """
 
 from __future__ import annotations

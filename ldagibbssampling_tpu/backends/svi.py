@@ -209,6 +209,35 @@ class SviModel:
         return self._sweeps
 
     # ------------------------------------------------------------------
+    def save_checkpoint(self, directory) -> int:
+        """Orbax checkpoint of the full online-LDA run: λ, the per-doc γ
+        cache, the step/sweep counters, AND the host shuffler's bit-generator
+        state — so a resumed run draws the same remaining minibatch sequence
+        the uninterrupted run would have (exact-resume contract, matching the
+        Gibbs runtimes')."""
+        from ldagibbssampling_tpu.lda_io.checkpoint import save_backend_run
+
+        meta = {
+            "step_idx": self._step_idx,
+            "sweeps": self._sweeps,
+            "rng_state": self._rng.bit_generator.state,
+        }
+        arrays = {"lam": self.lam, "gamma_full": self._gamma_full}
+        return save_backend_run(directory, arrays, meta, self._sweeps)
+
+    def restore_checkpoint(self, directory) -> int:
+        from ldagibbssampling_tpu.lda_io.checkpoint import restore_backend_run
+
+        like = {"lam": self.lam, "gamma_full": self._gamma_full}
+        arrays, meta = restore_backend_run(directory, like)
+        self.lam = arrays["lam"]
+        self._gamma_full = np.asarray(arrays["gamma_full"])
+        self._step_idx = int(meta["step_idx"])
+        self._sweeps = int(meta["sweeps"])
+        self._rng.bit_generator.state = meta["rng_state"]
+        return self._sweeps
+
+    # ------------------------------------------------------------------
     def phi(self) -> np.ndarray:
         lam = np.asarray(self.lam, np.float64)
         return lam / lam.sum(axis=1, keepdims=True)

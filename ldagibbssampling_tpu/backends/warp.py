@@ -34,6 +34,11 @@ Chain semantics: an approximate MH chain (frozen-count proposals + parallel
 moves).  Per-sweep mixing is slower than exact Gibbs (two MH moves vs one
 exact draw).  Validated like the other approximate runtimes: count exactness
 after every sweep + statistical parity vs the Gibbs chain (tests/test_warp.py).
+
+Checkpoint/resume is a **documented non-goal**: this backend exists as an
+algorithmic reference / measured negative result, not a production path —
+long runs belong on the Gibbs tiers (which checkpoint).  The CLI refuses
+``--checkpoint-every``/``--resume`` here with a clean error.
 """
 
 from __future__ import annotations

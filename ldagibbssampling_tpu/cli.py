@@ -163,6 +163,12 @@ def main(argv=None) -> int:
     print("1 Initialize the model ...")
     model = make_backend(cfg, corpus)
 
+    if args.checkpoint_every > 0 and not hasattr(model, "save_checkpoint"):
+        print(f"error: backend {cfg.backend!r} does not support "
+              "checkpointing (smc/warp are documented non-goals)",
+              file=sys.stderr)
+        return 2
+
     if args.resume:
         if not args.checkpoint_dir:
             print("error: --resume requires --checkpoint-dir", file=sys.stderr)

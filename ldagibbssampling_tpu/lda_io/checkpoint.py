@@ -186,3 +186,64 @@ def restore_mesh_run(
             ),
         )
     return out["state"], float(out["hyper"]["alpha"]), float(out["hyper"]["beta"])
+
+
+# ---------------------------------------------------------------------------
+# Generic backend checkpoints: the variational backends (backends/cvb0.py,
+# backends/svi.py) carry state that is neither a SamplerState nor sharded —
+# a dict of dense arrays plus backend-specific scalars (step counters, host
+# RNG state).  Arrays go through orbax StandardSave; scalars ride in a JSON
+# blob.  Round-4 verdict item 8: config-5-scale SVI runs are exactly the runs
+# long enough to need resume.
+
+
+def save_backend_run(
+    directory: str | Path,
+    arrays: dict,
+    meta: dict,
+    step: int,
+    *,
+    max_to_keep: int = 3,
+) -> int:
+    """Save a dict of arrays plus a JSON-serializable ``meta`` at ``step``."""
+    import orbax.checkpoint as ocp
+
+    with _manager(directory, max_to_keep) as mgr:
+        mgr.save(
+            int(step),
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(arrays),
+                meta=ocp.args.JsonSave(meta),
+            ),
+        )
+        mgr.wait_until_finished()
+    return int(step)
+
+
+def restore_backend_run(
+    directory: str | Path,
+    like: dict,
+    step: Optional[int] = None,
+) -> tuple[dict, dict]:
+    """Restore ``(arrays, meta)`` saved by :func:`save_backend_run`.
+
+    ``like`` supplies shapes/dtypes (device or numpy arrays both work).
+    """
+    import orbax.checkpoint as ocp
+
+    with _manager(directory) as mgr:
+        if step is None:
+            step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint found under {directory}")
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), like
+        )
+        out = mgr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(abstract),
+                meta=ocp.args.JsonRestore(),
+            ),
+        )
+    return out["state"], dict(out["meta"])
