@@ -27,13 +27,21 @@ NUM_TOPICS = int(sys.argv[2]) if len(sys.argv) > 2 else 500
 VOCAB = 50_000
 NUM_DOCS = 4_096
 BLOCK_SIZE = int(os.environ.get("LDA_BENCH_BLOCK", 65_536))  # measured best at K=500 (fused)
-TIMED_SWEEPS = int(os.environ.get("LDA_BENCH_SWEEPS", 10))  # 3 is too noisy
+TIMED_SWEEPS = int(os.environ.get("LDA_BENCH_SWEEPS", 20))  # 10 gives ±5% run-to-run at 0.2 s timed; 20 halves that
 # Kernel tier (LDA_BENCH_PALLAS): "0" = pure-XLA sweep, "1" = v1 draw kernel
 # (measured slower: the pallas_call boundary re-materializes the gathered
 # [B,K] tiles), "fused" = v2 fused block kernel (doc-slab + topic totals +
 # PRNG in VMEM), "deferred" = v3 deferred-nwk mode (fused kernel + per-sweep
 # MXU count rebuild, no per-block [V,K] scatter) — the default on TPU.
 _PALLAS_ENV = os.environ.get("LDA_BENCH_PALLAS", "deferred")
+# [B, K] elementwise chain dtype inside the fused kernel.  bf16 runs the
+# chain ~1.5x faster STANDALONE (scripts/vpu_dtype_probe.py, bf16_chain_
+# bench.py) but loses ~10% end-to-end (measured 49.5-51.3M vs 55.4-55.8M
+# f32 at this shape, 3 runs each): in the real loop the kernel overlaps the
+# row gather and rebuild, so shrinking the VPU body just exposes them while
+# the packed-bf16 relayouts at the kernel boundary add cost.  f32 default;
+# the knob stays for other shapes.
+COMPUTE_DTYPE = os.environ.get("LDA_BENCH_COMPUTE", "float32")
 USE_PALLAS = {"0": False, "1": True, "fused": "fused", "deferred": "deferred"}[_PALLAS_ENV]
 BASELINE_TOKENS_PER_S = 2e4  # BASELINE.md serial-Java estimate, upper end
 
@@ -93,7 +101,7 @@ def main() -> None:
         tw, td, tm, dl, alpha=0.5, beta=0.1,
         block_size=BLOCK_SIZE, draw_method="gumbel", num_sweeps=TIMED_SWEEPS,
         use_pallas=use_pallas, sorted_words=True, num_topics=NUM_TOPICS,
-        deferred_plan=plan,
+        deferred_plan=plan, kernel_compute_dtype=COMPUTE_DTYPE,
     )
 
     # warmup / compile
@@ -116,7 +124,8 @@ def main() -> None:
     }
     print(
         f"# device={dev.platform}:{dev} T={t} K={NUM_TOPICS} V={VOCAB} "
-        f"block={BLOCK_SIZE} pallas={use_pallas} compile={compile_s:.1f}s "
+        f"block={BLOCK_SIZE} pallas={use_pallas} compute={COMPUTE_DTYPE} "
+        f"compile={compile_s:.1f}s "
         f"timed={TIMED_SWEEPS} sweeps in {dt:.2f}s",
         file=sys.stderr,
     )

@@ -77,6 +77,42 @@ class FlatCorpus:
     def to_ragged(self) -> List[List[int]]:
         return [list(map(int, self.doc_tokens(m))) for m in range(self.num_docs)]
 
+    def select_docs(self, doc_ids: np.ndarray) -> "FlatCorpus":
+        """Sub-corpus of the given documents (renumbered 0..len-1), sharing
+        the vocabulary.  Pure numpy — O(T) with no per-doc Python loops, so
+        it is usable at benchmark-rung token counts (the train/held-out
+        splitter behind the ladder's held-out perplexity)."""
+        doc_ids = np.asarray(doc_ids, np.int64)
+        lengths = np.diff(self.doc_ptr)
+        keep = np.zeros(self.num_docs, bool)
+        keep[doc_ids] = True
+        # token membership via doc_ptr expansion (keeps doc-major order; the
+        # selected docs appear in ascending original id order)
+        tok_keep = keep[self.token_doc]
+        new_ptr = np.zeros(len(doc_ids) + 1, np.int32)
+        np.cumsum(lengths[np.sort(doc_ids)], out=new_ptr[1:])
+        # renumber doc ids: old id -> rank among kept
+        remap = np.cumsum(keep) - 1
+        return FlatCorpus(
+            token_word=self.token_word[tok_keep].copy(),
+            token_doc=remap[self.token_doc[tok_keep]].astype(np.int32),
+            doc_ptr=new_ptr,
+            vocab_size=self.vocab_size,
+            vocab=self.vocab,
+        )
+
+    def split_docs(self, heldout_frac: float, seed: int = 0
+                   ) -> tuple["FlatCorpus", "FlatCorpus"]:
+        """Random (train, heldout) document split — heldout gets
+        ``round(M * heldout_frac)`` docs (at least 1 when M > 1)."""
+        m = self.num_docs
+        rng = np.random.default_rng(seed)
+        n_h = min(m - 1, max(1, int(round(m * heldout_frac)))) if m > 1 else 0
+        held = rng.choice(m, size=n_h, replace=False)
+        mask = np.ones(m, bool)
+        mask[held] = False
+        return self.select_docs(np.flatnonzero(mask)), self.select_docs(held)
+
     # ------------------------------------------------------------------
     def pad_to(self, multiple: int) -> "PaddedCorpus":
         """Pad the token stream to a multiple of ``multiple`` tokens.

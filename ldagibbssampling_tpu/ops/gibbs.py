@@ -413,7 +413,7 @@ def _fused_sweep_impl(
     static_argnames=(
         "block_size", "d_loc", "row_tile", "noise_mode", "pallas_interpret",
         "vocab_size", "v_loc", "v_pad", "tile", "mirror_dtype",
-        "slab_split",
+        "slab_split", "compute_dtype",
     ),
 )
 def _deferred_sweep_impl(
@@ -440,6 +440,7 @@ def _deferred_sweep_impl(
     mirror_dtype: str = "bfloat16",
     slab_split: bool = True,
     mirror: Optional[jax.Array] = None,
+    compute_dtype: str = "float32",
 ):
     """One sweep in deferred-``nwk`` mode (the TPU fast path since round 3).
 
@@ -464,7 +465,7 @@ def _deferred_sweep_impl(
         noise_mode=noise_mode, pallas_interpret=pallas_interpret,
         vocab_size=vocab_size, v_loc=v_loc, v_pad=v_pad, tile=tile,
         mirror_dtype=mirror_dtype, slab_split=slab_split,
-        mirror=mirror,
+        mirror=mirror, compute_dtype=compute_dtype,
         # the rebuild kernel's ride-along mirror is bf16-only; the f32
         # ablation path (mirror_dtype='float32') falls back to the per-sweep
         # cast (mirror_out=None)
@@ -515,6 +516,7 @@ def deferred_local_counts(
     slab_split: bool = True,
     mirror: Optional[jax.Array] = None,
     emit_mirror: bool = False,
+    compute_dtype: str = "float32",
 ):
     """Deferred-mode sweep core: returns
     ``(z, ndk, local_counts_f32, nk_f32, mirror_out)``.
@@ -596,6 +598,7 @@ def deferred_local_counts(
             alpha=alpha, beta=beta, vbeta=vbeta, k_real=k,
             noise_mode=noise_mode, interpret=pallas_interpret,
             row_tile=row_tile, emit_delta=False, slab_split=slab_split,
+            compute_dtype=compute_dtype,
         )
         ndk = lax.dynamic_update_slice(ndk, slab_out, (d0_blocks[i], 0))
         z = lax.dynamic_update_slice(z, znew.astype(zold.dtype), (start,))
@@ -638,6 +641,7 @@ def make_sweep_fn(
     sorted_words: bool = False,
     num_topics: int = 512,
     deferred_plan=None,
+    kernel_compute_dtype: str = "float32",
 ):
     """Build a jitted ``state -> state`` function running ``num_sweeps`` sweeps.
 
@@ -764,6 +768,7 @@ def make_sweep_fn(
                     noise_mode=noise_mode, pallas_interpret=pallas_interpret,
                     vocab_size=None, v_loc=plan.v_loc, v_pad=plan.v_pad,
                     tile=plan.tile, slab_split=slab_split, mirror=mirror,
+                    compute_dtype=kernel_compute_dtype,
                 )
             return state, mirror
 

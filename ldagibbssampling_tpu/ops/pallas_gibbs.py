@@ -59,7 +59,7 @@ def _fused_kernel(
     seed_ref, hyper_ref, zold_ref, dloc_ref, msk_ref, nwk_ref,
     ndk_init_ref, nk_init_ref, noise_ref,
     *out_refs, k_real: int, noise_mode: str, emit_delta: bool = True,
-    slab_split: bool = True,
+    slab_split: bool = True, compute_dtype: str = "float32",
 ):
     if emit_delta:
         znew_ref, delta_ref, ndk_ref, nk_ref = out_refs
@@ -71,6 +71,22 @@ def _fused_kernel(
     bt, k_pad = nwk_ref.shape
     d_loc = ndk_ref.shape[0]
     i = pl.program_id(0)
+    # [B, K] elementwise chain dtype.  bf16 runs the VPU at ~1.5x the f32
+    # rate on v5e IN ISOLATION (scripts/vpu_dtype_probe.py: 20.0 vs 13.4
+    # Tops/s; bf16_chain_bench.py: 2.70 vs 4.11 ms standalone kernel) but
+    # LOSES ~10% in the full deferred sweep (measured r5: 49.5-51.3M vs
+    # 55.4-55.8M tok/s f32, 3 runs each, T=1M K=500) — in context the
+    # kernel overlaps the row gather/rebuild, so a faster VPU body exposes
+    # them while packed-bf16 relayouts at the kernel boundary add cost.
+    # f32 stays the default; the knob remains for other shapes.  Numerics
+    # when enabled: 2^-8 relative error sits below the draw's
+    # approx-reciprocal + 24-bit-uniform noise; every count that must stay
+    # exact (doc slab, topic totals, deltas) remains f32.
+    # "bfloat16" = whole chain incl. score/argmax input; "bf16p" = only the
+    # conditional product in bf16, score/argmax stay f32 (isolates the cost
+    # of the packed-score relayout); "float32" = everything f32
+    cdt = jnp.bfloat16 if compute_dtype in ("bfloat16", "bf16p") else jnp.float32
+    sdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
 
     # first tile: seed the VMEM-resident accumulators (constant index_map
     # keeps these output blocks resident across the whole grid)
@@ -120,55 +136,67 @@ def _fused_kernel(
     # the VPU, so transcendental count is the sweep's critical path.
     # rows may arrive bf16 (the deferred mode's snapshot gather — counts are
     # read-only there and 0.4% relative error is below the draw's own
-    # approx-reciprocal noise); compute stays f32
-    nwk_rows = nwk_ref[:].astype(jnp.float32)
+    # approx-reciprocal noise); the chain runs in `cdt`
+    excl_c = excl.astype(cdt)
+    nwk_rows = nwk_ref[:].astype(cdt)
+    ndk_rows_c = ndk_rows.astype(cdt)
     # the nk reciprocal is row-invariant: hoist it to one [1, K] pass and
     # fold the self-exclusion back in to first order —
     # 1/(x - e) = r/(1 - e·r) ≈ r + e·r²  for e ∈ {0, 1}; the dropped term is
     # r³ ≤ (1/Vβ)³ — orders below the approx-reciprocal's own 2^-12 noise.
     # Saves a full [bt, K] reciprocal + two adds per element (VPU-bound body).
-    r = pl.reciprocal(nk_ref[:] + vbeta, approx=True)
+    r32 = pl.reciprocal(nk_ref[:] + vbeta, approx=True)
+    r = r32.astype(cdt)
+    rr = (r32 * r32).astype(cdt)
     p = (
-        (nwk_rows - excl + beta)
-        * (ndk_rows - excl + alpha)
-        * (r + excl * (r * r))
+        (nwk_rows - excl_c + beta.astype(cdt))
+        * (ndk_rows_c - excl_c + alpha.astype(cdt))
+        * (r + excl_c * rr)
     )
+    # the uniform→exponential leg stays f32 (24-bit uniforms + log precision
+    # are the draw's quality floor); one [bt, K] cast folds it into the chain
     if noise_mode == "internal":
         pltpu.prng_seed(seed_ref[0] + i)
         bits = pltpu.bitcast(pltpu.prng_random_bits((bt, k_pad)), jnp.int32)
         u = (bits & 0xFFFFFF).astype(jnp.float32) * (1.0 / (1 << 24)) + (
             0.5 / (1 << 24)
         )
-        score = p * pl.reciprocal(-jnp.log(u), approx=True)
+        score = p.astype(sdt) * pl.reciprocal(-jnp.log(u), approx=True).astype(sdt)
     elif noise_mode == "external":
-        score = p * pl.reciprocal(-jnp.log(noise_ref[:]), approx=True)
+        score = p.astype(sdt) * pl.reciprocal(
+            -jnp.log(noise_ref[:]), approx=True).astype(sdt)
     else:
         # "deterministic": pure argmax of the conditional — identical to the
         # log-space argmax (monotone map), the kernel-vs-jnp equality hook
         score = p
 
-    score = jnp.where(cols < k_real, score, -1.0)
-    znew = jnp.argmax(score, axis=1, keepdims=True).astype(jnp.int32)
+    score = jnp.where(cols < k_real, score, score.dtype.type(-1.0))
+    # Mosaic's cross-lane argmax lowers f32 only: one cast at the boundary
+    # (a no-op in the f32 chain; bf16->f32 is exact so the draw is unchanged)
+    znew = jnp.argmax(score.astype(jnp.float32), axis=1,
+                      keepdims=True).astype(jnp.int32)
     znew = jnp.where(msk_ref[:] > 0, znew, zold_ref[:])
     znew_ref[:] = znew
 
-    delta = (cols == znew).astype(jnp.float32) * mskf - excl
+    # delta values are exactly representable in either dtype ({-1, 0, 1});
+    # sums/accumulations happen in f32
+    delta = (cols == znew).astype(cdt) * mskf.astype(cdt) - excl_c
     if emit_delta:
-        delta_ref[:] = delta
+        delta_ref[:] = delta.astype(jnp.float32)
     # in-VMEM count updates: later tiles of the block see fresh doc counts
     # (bf16 matmul is exact: one-hot 0/1 against ±1 deltas, f32 accumulate)
     ndk_ref[:] += jax.lax.dot_general(
         ohd, delta.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    nk_ref[:] += jnp.sum(delta, axis=0, keepdims=True)
+    nk_ref[:] += jnp.sum(delta.astype(jnp.float32), axis=0, keepdims=True)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "k_real", "noise_mode", "interpret", "row_tile", "emit_delta",
-        "slab_split",
+        "slab_split", "compute_dtype",
     ),
 )
 def pallas_fused_block(
@@ -190,6 +218,7 @@ def pallas_fused_block(
     row_tile: int = 512,
     emit_delta: bool = True,
     slab_split: bool = True,
+    compute_dtype: str = "float32",
 ):
     """Fused block step: draw + doc-slab/nk updates in VMEM.
 
@@ -250,6 +279,7 @@ def pallas_fused_block(
         functools.partial(
             _fused_kernel, k_real=k_real, noise_mode=noise_mode,
             emit_delta=emit_delta, slab_split=slab_split,
+            compute_dtype=compute_dtype,
         ),
         grid=grid,
         in_specs=[
