@@ -24,8 +24,8 @@ import numpy as np
 # benchmark shape (overridable for smoke runs: bench.py [tokens] [topics])
 NUM_TOKENS = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 20   # ~1.05M
 NUM_TOPICS = int(sys.argv[2]) if len(sys.argv) > 2 else 500
-VOCAB = 50_000
-NUM_DOCS = 4_096
+VOCAB = int(os.environ.get("LDA_BENCH_VOCAB", 50_000))
+NUM_DOCS = int(os.environ.get("LDA_BENCH_DOCS", 4_096))
 BLOCK_SIZE = int(os.environ.get("LDA_BENCH_BLOCK", 65_536))  # measured best at K=500 (fused)
 TIMED_SWEEPS = int(os.environ.get("LDA_BENCH_SWEEPS", 20))  # 10 gives ±5% run-to-run at 0.2 s timed; 20 halves that
 # Kernel tier (LDA_BENCH_PALLAS): "0" = pure-XLA sweep, "1" = v1 draw kernel

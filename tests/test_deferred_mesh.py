@@ -197,3 +197,27 @@ def test_chaingrid_deferred_matches_xla_statistics():
     ld = log_likelihood(m_def.phi(), m_def.theta(), fc) / fc.num_tokens
     lx = log_likelihood(m_xla.phi(), m_xla.theta(), fc) / fc.num_tokens
     assert abs(ld - lx) < 0.15, (ld, lx)
+
+
+def test_grid_deferred_rung5_stripe_shape():
+    # BASELINE config 5's defining stripe shape: K=1000 (k_pad=1024) with
+    # vocab-sharded nwk — the one configuration that REQUIRES GridLda
+    # (round-4 verdict item 5).  V is scaled down (the stripe layout and
+    # kernel tile shapes are what's under test; v_loc=128 stripes are
+    # identical at any V), counts checked bitwise after sweeps.
+    import jax
+    from jax.sharding import Mesh
+
+    from ldagibbssampling_tpu.parallel.grid import GridLda
+
+    rng = np.random.default_rng(5)
+    ragged = [[int(x) for x in rng.integers(0, 512, size=40)]
+              for _ in range(24)]
+    fc = FlatCorpus.from_ragged(ragged, vocab_size=512)
+    cfg = LdaConfig(topic_num=1000, block_size=128, seed=3,
+                    use_pallas="deferred", pallas_interpret=True)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("data", "vocab"))
+    model = GridLda(cfg, fc, mesh=mesh)
+    assert model.kernel_tier == "deferred"
+    model.sweep(2)
+    model.check_counts_consistent()
