@@ -36,6 +36,21 @@ class SamplerState:
     sweep: jax.Array    # int32 scalar — completed sweeps (for resume)
 
 
+def host_randint(key, shape, maxval: int) -> np.ndarray:
+    """``jax.random.randint`` evaluated on the CPU backend, returned as numpy.
+
+    threefry is bit-identical across backends, so this produces the SAME
+    init as drawing on the accelerator — without paying a remote compile +
+    device→host fetch at model-construction time (measured: a single 4 MB
+    ``np.asarray(device_randint)`` cost ~27 s over the remote-TPU tunnel;
+    the CPU draw is milliseconds).
+    """
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        return np.asarray(
+            jax.random.randint(key, shape, 0, maxval, dtype=jnp.int32))
+
+
 def init_state(
     token_word: Any,
     token_doc: Any,
@@ -60,9 +75,7 @@ def init_state(
 
     root = jax.random.PRNGKey(seed)
     init_key, chain_key = jax.random.split(root)
-    z = np.asarray(
-        jax.random.randint(init_key, token_word.shape, 0, k, dtype=jnp.int32)
-    )
+    z = host_randint(init_key, token_word.shape, k)
     real = token_mask.astype(bool)
     ndk = np.zeros((num_docs, k), dtype=np.int32)
     nwk = np.zeros((vocab_size, k), dtype=np.int32)

@@ -517,9 +517,9 @@ class ShardedLda:
         v = corpus.vocab_size
         root = jax.random.PRNGKey(config.seed)
         init_key, self._key = jax.random.split(root)
-        z = np.asarray(
-            jax.random.randint(init_key, self.shards.token_word.shape, 0, k, jnp.int32)
-        )
+        from ldagibbssampling_tpu.models.state import host_randint
+
+        z = host_randint(init_key, self.shards.token_word.shape, k)
         mask = self.shards.token_mask.astype(bool)
         ndk = np.zeros((p, self.shards.docs_per_shard, k), dtype=np.int32)
         nwk = np.zeros((v, k), dtype=np.int32)

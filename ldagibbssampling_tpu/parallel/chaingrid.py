@@ -119,10 +119,10 @@ class ShardedChainSet:
         ndk = np.zeros((c, p, m_s, k), np.int32)
         nwk = np.zeros((c, v, k), np.int32)
         for ci in range(c):
-            zc = np.asarray(jax.random.randint(
-                jax.random.fold_in(root, 1000 + ci),
-                self.shards.token_word.shape, 0, k, jnp.int32,
-            ))
+            from ldagibbssampling_tpu.models.state import host_randint
+
+            zc = host_randint(jax.random.fold_in(root, 1000 + ci),
+                              self.shards.token_word.shape, k)
             z[ci] = zc
             for s in range(p):
                 np.add.at(ndk[ci, s],

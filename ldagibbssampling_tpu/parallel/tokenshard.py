@@ -282,7 +282,9 @@ class TokenShardedLda:
         m = corpus.num_docs
         root = jax.random.PRNGKey(config.seed)
         init_key, self._key = jax.random.split(root)
-        z = np.asarray(jax.random.randint(init_key, tw.shape, 0, k, jnp.int32))
+        from ldagibbssampling_tpu.models.state import host_randint
+
+        z = host_randint(init_key, tw.shape, k)
         mask = tm.astype(bool)
         ndk = np.zeros((m, k), dtype=np.int32)
         nwk = np.zeros((v, k), dtype=np.int32)
