@@ -51,7 +51,7 @@ from ldagibbssampling_tpu.corpus.flat import FlatCorpus
 
 
 @functools.partial(
-    jax.jit, static_argnames=("alpha", "beta", "ess_threshold")
+    jax.jit, static_argnames=("alpha", "beta", "ess_threshold", "num_steps")
 )
 def smc_absorb(
     ndk: jax.Array,       # [P, M, K] per-particle doc-topic counts
@@ -63,10 +63,12 @@ def smc_absorb(
     token_word: jax.Array,   # [T]
     token_doc: jax.Array,    # [T]
     first_pass: jax.Array,   # bool scalar: if False, decrement old z first
+    t_offset: jax.Array,     # [] int32 — absolute index of this chunk's first token
     *,
     alpha: float,
     beta: float,
     ess_threshold: float,
+    num_steps: int,
 ):
     p, _, k = ndk.shape
     v = nwk.shape[1]
@@ -74,8 +76,9 @@ def smc_absorb(
     vbeta = v * beta
     kalpha = k * alpha
 
-    def step(carry, t):
+    def step(carry, i):
         ndk, nwk, nk, z, logw, key = carry
+        t = t_offset + i
         w = token_word[t]
         d = token_doc[t]
 
@@ -119,8 +122,13 @@ def smc_absorb(
         )
         return (ndk, nwk, nk, z, logw, key), None
 
+    # chunked dispatch: the caller bounds num_steps so one executable never
+    # runs an unbounded sequential scan on the device (a 420k-step single
+    # dispatch reproducibly faulted the remote TPU — UNAVAILABLE device
+    # error; ~32k-step chunks are well inside the envelope and the carry
+    # crosses dispatches exactly)
     (ndk, nwk, nk, z, logw, key), _ = lax.scan(
-        step, (ndk, nwk, nk, z, logw, key), jnp.arange(t_total)
+        step, (ndk, nwk, nk, z, logw, key), jnp.arange(num_steps)
     )
     return ndk, nwk, nk, z, logw, key
 
@@ -129,11 +137,13 @@ class SmcModel:
     """Particle-filter backend (small-corpus scale; particles via vmap axis)."""
 
     def __init__(self, config: LdaConfig, corpus: FlatCorpus,
-                 num_particles: int = 16, ess_threshold: float = 0.5) -> None:
+                 num_particles: int = 16, ess_threshold: float = 0.5,
+                 chunk_size: int = 32_768) -> None:
         self.config = config
         self.corpus = corpus
         self.num_particles = num_particles
         self.ess_threshold = ess_threshold
+        self.chunk_size = max(1, chunk_size)
         self.doc_lengths = corpus.doc_lengths()
 
         p, m, v, k = num_particles, corpus.num_docs, corpus.vocab_size, config.topic_num
@@ -149,15 +159,28 @@ class SmcModel:
         self._sweeps = 0
 
     def sweep(self, n: int = 1) -> None:
-        """Absorb (first call) / re-absorb (rejuvenate) the full token stream."""
+        """Absorb (first call) / re-absorb (rejuvenate) the full token stream.
+
+        The stream is absorbed in ``chunk_size``-token dispatches (the carry
+        crosses chunk boundaries bitwise, so the chain is identical to one
+        big scan — asserted in tests/test_backends.py); unbounded
+        single-dispatch scans fault the remote TPU at a few hundred
+        thousand steps.
+        """
+        t_total = int(self._tw.shape[0])
         for _ in range(n):
             first = jnp.asarray(self._sweeps == 0)
-            (self.ndk, self.nwk, self.nk, self.z, self.logw, self.key) = smc_absorb(
-                self.ndk, self.nwk, self.nk, self.z, self.logw, self.key,
-                self._tw, self._td, first,
-                alpha=self.config.alpha, beta=self.config.beta,
-                ess_threshold=self.ess_threshold,
-            )
+            pos = 0
+            while pos < t_total:
+                c = min(self.chunk_size, t_total - pos)
+                (self.ndk, self.nwk, self.nk, self.z, self.logw,
+                 self.key) = smc_absorb(
+                    self.ndk, self.nwk, self.nk, self.z, self.logw, self.key,
+                    self._tw, self._td, first, jnp.int32(pos),
+                    alpha=self.config.alpha, beta=self.config.beta,
+                    ess_threshold=self.ess_threshold, num_steps=c,
+                )
+                pos += c
             self._sweeps += 1
 
     @property

@@ -40,7 +40,15 @@ def _block(model) -> None:
 
 
 def _timed_sweeps(model, n: int) -> float:
-    """Run n sweeps, return steady-state tokens/s (first sweep = compile)."""
+    """Run n sweeps, return steady-state tokens/s.
+
+    TWO warmup calls: the first compiles the cold-start specialization, the
+    second the steady one (the deferred tier's carried bf16 mirror makes the
+    second call a different jit signature — without this, its compile lands
+    inside the timed window and a 20-sweep rung reads 100x low).
+    """
+    model.sweep(1)
+    _block(model)
     model.sweep(1)
     _block(model)
     t0 = time.perf_counter()
@@ -351,13 +359,24 @@ def main(argv=None) -> int:
     report = {"scale": args.scale, "rungs": [], "gate_failures": []}
     for r in (int(x) for x in args.rungs.split(",") if x.strip()):
         t0 = time.perf_counter()
-        res = RUNGS[r](args.scale)
+        try:
+            res = RUNGS[r](args.scale)
+        except Exception as e:  # noqa: BLE001 — a rung crash (e.g. a remote
+            # TPU infrastructure error) must not lose the completed rungs'
+            # results; it is recorded LOUDLY and the exit code is nonzero
+            res = {"rung": r, "gate": "FAILED",
+                   "error": f"{type(e).__name__}: {e}"}
+            report["gate_failures"].append(r)
+            print(f"*** RUNG {r} CRASHED: {res['error']} ***",
+                  file=sys.stderr, flush=True)
         res["wall_s"] = time.perf_counter() - t0
         report["rungs"].append(res)
-        if res.get("gate") == "FAILED":
+        if res.get("gate") == "FAILED" and r not in report["gate_failures"]:
             report["gate_failures"].append(r)
         print(json.dumps(res), flush=True)
-    Path(args.out).write_text(json.dumps(report, indent=2))
+        # incremental write: a later rung's crash or a killed run keeps
+        # everything measured so far on disk
+        Path(args.out).write_text(json.dumps(report, indent=2))
     print(f"wrote {args.out}", file=sys.stderr)
     if report["gate_failures"]:
         print(f"GATE FAILURES on rungs {report['gate_failures']} — "

@@ -119,3 +119,20 @@ def test_cvb0_sorted_blocks_z_in_corpus_order():
     for d in range(6):
         seg = z[d * 24:(d + 1) * 24]
         assert (seg == seg[0]).all(), f"doc {d} tokens not coherent: {seg}"
+
+
+def test_smc_chunked_absorb_matches_single_scan():
+    # the chunked dispatch must continue the chain bitwise across chunk
+    # boundaries: same corpus, chunk_size >= T vs a tiny chunk_size
+    from ldagibbssampling_tpu.backends.smc import SmcModel
+
+    corpus = _topic_corpus(seed=23)
+    cfg = LdaConfig(topic_num=4, seed=9)
+    a = SmcModel(cfg, corpus, num_particles=4, chunk_size=10**9)
+    b = SmcModel(cfg, corpus, num_particles=4, chunk_size=37)
+    a.sweep(2)
+    b.sweep(2)
+    np.testing.assert_array_equal(np.asarray(a.z), np.asarray(b.z))
+    np.testing.assert_array_equal(np.asarray(a.nwk), np.asarray(b.nwk))
+    np.testing.assert_allclose(np.asarray(a.logw), np.asarray(b.logw),
+                               rtol=1e-5)
