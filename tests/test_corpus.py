@@ -82,3 +82,36 @@ def test_minicorpus_deterministic():
     assert a == b
     assert a != c
     assert len(a) == 3
+
+
+def test_select_docs_roundtrip_and_renumber():
+    from ldagibbssampling_tpu.corpus.flat import FlatCorpus
+
+    rng = np.random.default_rng(3)
+    ragged = [[int(x) for x in rng.integers(0, 20, size=int(rng.integers(1, 9)))]
+              for _ in range(12)]
+    fc = FlatCorpus.from_ragged(ragged, vocab_size=20)
+    sub = fc.select_docs(np.array([2, 5, 7]))
+    assert sub.num_docs == 3
+    assert sub.to_ragged() == [ragged[2], ragged[5], ragged[7]]
+    # unsorted ids select the same docs (ascending original order)
+    sub2 = fc.select_docs(np.array([7, 2, 5]))
+    assert sub2.to_ragged() == sub.to_ragged()
+
+
+def test_split_docs_partitions_corpus():
+    from ldagibbssampling_tpu.corpus.flat import FlatCorpus
+
+    rng = np.random.default_rng(4)
+    ragged = [[int(x) for x in rng.integers(0, 30, size=10)] for _ in range(40)]
+    fc = FlatCorpus.from_ragged(ragged, vocab_size=30)
+    train, held = fc.split_docs(0.1, seed=7)
+    assert held.num_docs == 4
+    assert train.num_docs == 36
+    assert train.num_tokens + held.num_tokens == fc.num_tokens
+    # same vocab; deterministic per seed
+    t2, h2 = fc.split_docs(0.1, seed=7)
+    assert h2.to_ragged() == held.to_ragged()
+    # every doc appears exactly once across the split
+    all_docs = sorted(map(tuple, train.to_ragged() + held.to_ragged()))
+    assert all_docs == sorted(map(tuple, ragged))
