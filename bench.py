@@ -42,6 +42,8 @@ _PALLAS_ENV = os.environ.get("LDA_BENCH_PALLAS", "deferred")
 # the packed-bf16 relayouts at the kernel boundary add cost.  f32 default;
 # the knob stays for other shapes.
 COMPUTE_DTYPE = os.environ.get("LDA_BENCH_COMPUTE", "float32")
+if COMPUTE_DTYPE not in ("float32", "bfloat16", "bf16p"):
+    raise SystemExit(f"LDA_BENCH_COMPUTE={COMPUTE_DTYPE!r}: expected float32|bfloat16|bf16p")
 USE_PALLAS = {"0": False, "1": True, "fused": "fused", "deferred": "deferred"}[_PALLAS_ENV]
 BASELINE_TOKENS_PER_S = 2e4  # BASELINE.md serial-Java estimate, upper end
 

@@ -30,13 +30,9 @@ from ldagibbssampling_tpu.evaluation.metrics import perplexity
 
 def _block(model) -> None:
     """Block until the model's device state is committed (async dispatch)."""
-    import jax
+    from ldagibbssampling_tpu.evaluation.tracing import block_on_backend
 
-    for attr in ("state", "z", "gamma", "lam"):
-        x = getattr(model, attr, None)
-        if x is not None and not callable(x):
-            jax.block_until_ready(x)
-            return
+    block_on_backend(model)
 
 
 def _timed_sweeps(model, n: int) -> float:
@@ -106,6 +102,7 @@ def _fidelity_bit_match(corpus, n_sweeps: int = 3, k: int = 3) -> bool:
     from ldagibbssampling_tpu.models.state import SamplerState
     from ldagibbssampling_tpu.ops.gibbs import gibbs_sweep
 
+    prev_x64 = jax.config.jax_enable_x64
     jax.config.update("jax_enable_x64", True)
     cpu = jax.local_devices(backend="cpu")[0]
     try:
@@ -138,7 +135,7 @@ def _fidelity_bit_match(corpus, n_sweeps: int = 3, k: int = 3) -> bool:
                 return False
         return bool(np.array_equal(np.asarray(state.nwk), oracle.nwk))
     finally:
-        jax.config.update("jax_enable_x64", False)
+        jax.config.update("jax_enable_x64", prev_x64)
 
 
 def rung2(scale: float, sweeps: int = 20) -> dict:
@@ -186,10 +183,13 @@ def rung3(scale: float, sweeps: int = 10) -> dict:
     m = max(40, int(300_000 * scale))
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        m = max(m, (1 << 24) // 300 + 1)  # floor: >= 2^24 real tokens
+        # floor: the TRAINED corpus must keep >= 2^24 real tokens AFTER the
+        # 5% held-out doc split, so inflate the floor by 1/0.95
+        m = max(m, int(((1 << 24) // 300 + 1) / 0.95) + 1)
     v = max(500, int(100_000 * min(1.0, scale * 5)))
     full = zipf_corpus(m, v, mean_doc_len=300, seed=2)
     corpus, heldout = full.split_docs(0.05, seed=2)
+    assert not on_tpu or corpus.num_tokens >= (1 << 24), corpus.num_tokens
     n_dev = len(jax.devices())
     cfg = LdaConfig(topic_num=100, seed=0, block_size=65_536)
     model = ShardedLda(cfg, corpus, num_shards=n_dev)

@@ -82,7 +82,8 @@ class FlatCorpus:
         the vocabulary.  Pure numpy — O(T) with no per-doc Python loops, so
         it is usable at benchmark-rung token counts (the train/held-out
         splitter behind the ladder's held-out perplexity)."""
-        doc_ids = np.asarray(doc_ids, np.int64)
+        doc_ids = np.unique(np.asarray(doc_ids, np.int64))  # dedupe + sort:
+        # duplicate ids would desync doc_ptr from the once-selected tokens
         lengths = np.diff(self.doc_ptr)
         keep = np.zeros(self.num_docs, bool)
         keep[doc_ids] = True
@@ -90,7 +91,7 @@ class FlatCorpus:
         # selected docs appear in ascending original id order)
         tok_keep = keep[self.token_doc]
         new_ptr = np.zeros(len(doc_ids) + 1, np.int32)
-        np.cumsum(lengths[np.sort(doc_ids)], out=new_ptr[1:])
+        np.cumsum(lengths[doc_ids], out=new_ptr[1:])  # doc_ids sorted above
         # renumber doc ids: old id -> rank among kept
         remap = np.cumsum(keep) - 1
         return FlatCorpus(

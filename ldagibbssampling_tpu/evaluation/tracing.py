@@ -43,6 +43,31 @@ def annotate(name: str) -> Iterator[None]:
         yield
 
 
+def block_on_backend(backend) -> None:
+    """Block until a backend's device state is committed.
+
+    Dispatches are async: a timed ``sweep(chunk)`` without this measures
+    ENQUEUE time, not compute (observed: metrics rows claiming 3.3e9
+    tokens/s on a 52M-tokens/s chip).  One shared probe — the runner and the
+    benchmark ladder must block identically, or a new backend silently
+    reports enqueue-time throughput in one of them.
+    """
+    import jax
+
+    for attr in ("state", "z", "gamma", "lam"):
+        x = getattr(backend, attr, None)
+        if x is not None and not callable(x):
+            jax.block_until_ready(x)
+            return
+    chains = getattr(backend, "chains", None)
+    if chains is not None:
+        for attr in ("states", "z"):
+            x = getattr(chains, attr, None)
+            if x is not None and not callable(x):
+                jax.block_until_ready(x)
+                return
+
+
 class SweepTimer:
     """Wall-clock per-sweep timing + tokens-resampled/s.
 

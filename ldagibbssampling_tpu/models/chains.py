@@ -215,7 +215,6 @@ class MultiChainModel:
         self.chains = ChainSet(config, corpus, num_chains=max(2, config.chains))
         self.kernel_tier = "xla"  # ChainSet runs the vmapped XLA sweep
         self._sweeps = 0
-        self._phi_draws = 0
 
     def sweep(self, n: int = 1) -> None:
         self.chains.sweep(n, record_ll=True)
@@ -224,7 +223,6 @@ class MultiChainModel:
         # accumulator: valid at every horizon (odd counts included) and the
         # reported window never includes the init transient
         self.chains.record_phi_auto()
-        self._phi_draws += 1
 
     @property
     def sweeps_done(self) -> int:

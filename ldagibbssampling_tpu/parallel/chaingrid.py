@@ -118,9 +118,9 @@ class ShardedChainSet:
         z = np.empty((c, p, t_s), np.int32)
         ndk = np.zeros((c, p, m_s, k), np.int32)
         nwk = np.zeros((c, v, k), np.int32)
-        for ci in range(c):
-            from ldagibbssampling_tpu.models.state import host_randint
+        from ldagibbssampling_tpu.models.state import host_randint
 
+        for ci in range(c):
             zc = host_randint(jax.random.fold_in(root, 1000 + ci),
                               self.shards.token_word.shape, k)
             z[ci] = zc
@@ -502,14 +502,12 @@ class ShardedChainModel:
         self.chains = ShardedChainSet(
             config, corpus, num_chains=num_chains, num_shards=num_shards,
             mesh=mesh)
-        self._phi_draws = 0
 
     def sweep(self, n: int = 1) -> None:
         self.chains.sweep(n, record_ll=True)
         # pair-safe doubling-window recording: valid at every horizon (odd
         # draw counts included), init transient re-windowed into burn-in
         self.chains.record_phi_auto()
-        self._phi_draws += 1
 
     @property
     def sweeps_done(self) -> int:

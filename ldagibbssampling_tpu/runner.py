@@ -16,31 +16,9 @@ import numpy as np
 from ldagibbssampling_tpu.backends.base import InferenceBackend
 from ldagibbssampling_tpu.config import LdaConfig
 from ldagibbssampling_tpu.corpus.flat import FlatCorpus
-from ldagibbssampling_tpu.evaluation.tracing import MetricsLog, SweepTimer
+from ldagibbssampling_tpu.evaluation.tracing import (
+    MetricsLog, SweepTimer, block_on_backend)
 from ldagibbssampling_tpu.lda_io.artifacts import save_iterated_model
-
-
-def _block_on(backend: InferenceBackend) -> None:
-    """Block until the backend's device state is committed.
-
-    Dispatches are async: without this, a timed ``sweep(chunk)`` measures
-    ENQUEUE time, not compute (observed: metrics rows claiming 3.3e9
-    tokens/s on a 52M-tokens/s chip).  Mirrors ``benchmarks/ladder._block``.
-    """
-    import jax
-
-    for attr in ("state", "z", "gamma", "lam"):
-        x = getattr(backend, attr, None)
-        if x is not None and not callable(x):
-            jax.block_until_ready(x)
-            return
-    chains = getattr(backend, "chains", None)
-    if chains is not None:
-        for attr in ("states", "z"):
-            x = getattr(chains, attr, None)
-            if x is not None and not callable(x):
-                jax.block_until_ready(x)
-                return
 
 
 def map_assignments(phi: np.ndarray, theta: np.ndarray, corpus: FlatCorpus) -> np.ndarray:
@@ -154,7 +132,7 @@ def run_inference(
             if metrics is not None:
                 # timed throughput must cover the COMPUTE, not the async
                 # enqueue; without metrics, chunks stay fully pipelined
-                _block_on(backend)
+                block_on_backend(backend)
         i_last = i + chunk - 1  # schedule checks fire for the chunk's last sweep
         if (
             optimize_hyper_every > 0
