@@ -45,6 +45,11 @@ COMPUTE_DTYPE = os.environ.get("LDA_BENCH_COMPUTE", "float32")
 if COMPUTE_DTYPE not in ("float32", "bfloat16", "bf16p"):
     raise SystemExit(f"LDA_BENCH_COMPUTE={COMPUTE_DTYPE!r}: expected float32|bfloat16|bf16p")
 USE_PALLAS = {"0": False, "1": True, "fused": "fused", "deferred": "deferred"}[_PALLAS_ENV]
+# sweep-stale snapshot dtype for the deferred tier (bf16 default; the f32
+# gather is 2x faster isolated but doubles the kernel-input HBM read)
+MIRROR_DTYPE = os.environ.get("LDA_BENCH_MIRROR", "bfloat16")
+if MIRROR_DTYPE not in ("bfloat16", "float32"):
+    raise SystemExit(f"LDA_BENCH_MIRROR={MIRROR_DTYPE!r}: expected bfloat16|float32")
 BASELINE_TOKENS_PER_S = 2e4  # BASELINE.md serial-Java estimate, upper end
 
 
@@ -104,6 +109,7 @@ def main() -> None:
         block_size=BLOCK_SIZE, draw_method="gumbel", num_sweeps=TIMED_SWEEPS,
         use_pallas=use_pallas, sorted_words=True, num_topics=NUM_TOPICS,
         deferred_plan=plan, kernel_compute_dtype=COMPUTE_DTYPE,
+        mirror_dtype=MIRROR_DTYPE,
     )
 
     # warmup / compile

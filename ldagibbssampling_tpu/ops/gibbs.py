@@ -642,6 +642,7 @@ def make_sweep_fn(
     num_topics: int = 512,
     deferred_plan=None,
     kernel_compute_dtype: str = "float32",
+    mirror_dtype: str = "bfloat16",
 ):
     """Build a jitted ``state -> state`` function running ``num_sweeps`` sweeps.
 
@@ -769,6 +770,7 @@ def make_sweep_fn(
                     vocab_size=None, v_loc=plan.v_loc, v_pad=plan.v_pad,
                     tile=plan.tile, slab_split=slab_split, mirror=mirror,
                     compute_dtype=kernel_compute_dtype,
+                    mirror_dtype=mirror_dtype,
                 )
             return state, mirror
 
