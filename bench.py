@@ -98,12 +98,12 @@ def main() -> None:
         num_topics=NUM_TOPICS, seed=0,
     )
     # TIMED_SWEEPS sweeps per run() call — the product's steady state
-    # (runner.py batches unrecorded sweeps between metric checkpoints).  The
-    # XLA/fused tiers run them as one in-compilation fori_loop (one
-    # dispatch); the deferred tier issues TIMED_SWEEPS async back-to-back
-    # dispatches of its jitted per-sweep impl with the rebuild kernel's
-    # ride-along bf16 mirror carried between them (no per-sweep [V, K]
-    # re-cast) — the sweeps pipeline on the device queue either way
+    # (runner.py batches unrecorded sweeps between metric checkpoints).
+    # All tiers run the batch as an in-compilation fori_loop: the deferred
+    # tier runs one cold dispatch (casts the [V, K] mirror) plus ONE batched
+    # dispatch carrying the rebuild kernel's ride-along bf16 mirror in the
+    # loop carry (round 5: per-sweep dispatches cost 1-3 ms each on the
+    # remote platform)
     run = make_sweep_fn(
         tw, td, tm, dl, alpha=0.5, beta=0.1,
         block_size=BLOCK_SIZE, draw_method="gumbel", num_sweeps=TIMED_SWEEPS,

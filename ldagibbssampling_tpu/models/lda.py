@@ -113,15 +113,14 @@ class LdaModel:
             return
         with_mirror = getattr(self._run_sweeps, "with_mirror", None)
         if with_mirror is not None:
-            # deferred tier: carry the rebuild kernel's ride-along bf16
-            # gather snapshot ACROSS sweep() calls, so only the very first
-            # sweep (or the first after a checkpoint restore) pays the
-            # [V, K] pad+cast (~2 ms at V=50k, K=500 — 10% of a sweep)
+            # deferred tier: the whole batch is ONE in-compilation dispatch
+            # (traced trip count), with the rebuild kernel's ride-along bf16
+            # gather snapshot carried ACROSS sweep() calls — only the very
+            # first sweep (or the first after a checkpoint restore) pays the
+            # [V, K] pad+cast as its own dispatch
             mirror = getattr(self, "_mirror", None)
-            for _ in range(n):
-                self.state, mirror = with_mirror(
-                    self.state, self.alpha, self.beta, mirror)
-            self._mirror = mirror
+            self.state, self._mirror = with_mirror(
+                self.state, self.alpha, self.beta, mirror, n_sweeps=n)
             return
         for _ in range(n):
             self.state = self._run_sweeps(self.state, self.alpha, self.beta)

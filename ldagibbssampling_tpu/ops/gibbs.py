@@ -751,34 +751,52 @@ def make_sweep_fn(
         # kernel can skip the hi/lo slab split (1/3 of its MXU cost)
         slab_split = max_doc_len > 256
 
-        def run_with_mirror(state: SamplerState, alpha, beta, mirror):
-            """``num_sweeps`` sweeps carrying the bf16 gather snapshot.
+        def _one_sweep(state, a, b, mirror):
+            return _deferred_sweep_impl(
+                state, jtw, tdl, jtm, jd0, jrg, jwl, jts, a, b,
+                block_size=block_size, d_loc=d_loc, row_tile=row_tile,
+                noise_mode=noise_mode, pallas_interpret=pallas_interpret,
+                vocab_size=None, v_loc=plan.v_loc, v_pad=plan.v_pad,
+                tile=plan.tile, slab_split=slab_split, mirror=mirror,
+                compute_dtype=kernel_compute_dtype,
+                mirror_dtype=mirror_dtype,
+            )
 
-            The rebuild kernel emits the NEXT sweep's snapshot as a
-            ride-along output, so only the first sweep after a cold start
-            (``mirror=None``) pays the [V, K] pad+cast (~2 ms at V=50k,
-            K=500 on v5e).  Callers that own the state between calls (e.g.
-            ``models/lda.LdaModel``) pass the returned mirror back in to
-            skip the cast on EVERY sweep, not just within one call."""
+        # mirror-carrying steady batch: n sweeps as ONE dispatch.  The trip
+        # count is TRACED (like the XLA/fused tiers), so the runner's
+        # variable chunk sizes never recompile.  One executable per sweep
+        # was measured at 1-3 ms dispatch overhead each on the remote-TPU
+        # platform (5-15% of a 20 ms sweep, and highly variable).
+        @jax.jit
+        def _batch(state, a, b, mirror, n):
+            def one(_, carry):
+                s, m = carry
+                return _one_sweep(s, a, b, m)
+            return lax.fori_loop(0, n, one, (state, mirror))
+
+        def run_with_mirror(state: SamplerState, alpha, beta, mirror,
+                            n_sweeps=None):
+            """``n_sweeps`` (default ``num_sweeps``) sweeps carrying the
+            bf16 gather snapshot.
+
+            ``mirror=None`` (cold start) runs the first sweep as its own
+            dispatch — it casts the [V, K] snapshot from ``state.nwk`` and
+            emits the carried mirror — then the remaining sweeps run as one
+            in-compilation ``fori_loop`` dispatch.  Callers that own the
+            state between calls (e.g. ``models/lda.LdaModel``) pass the
+            returned mirror back in, making EVERY subsequent call a single
+            batched dispatch."""
             a = jnp.asarray(alpha, jnp.float32)
             b = jnp.asarray(beta, jnp.float32)
-            for _ in range(num_sweeps):
-                state, mirror = _deferred_sweep_impl(
-                    state, jtw, tdl, jtm, jd0, jrg, jwl, jts, a, b,
-                    block_size=block_size, d_loc=d_loc, row_tile=row_tile,
-                    noise_mode=noise_mode, pallas_interpret=pallas_interpret,
-                    vocab_size=None, v_loc=plan.v_loc, v_pad=plan.v_pad,
-                    tile=plan.tile, slab_split=slab_split, mirror=mirror,
-                    compute_dtype=kernel_compute_dtype,
-                    mirror_dtype=mirror_dtype,
-                )
+            n = num_sweeps if n_sweeps is None else n_sweeps
+            if mirror is None and n > 0:
+                state, mirror = _one_sweep(state, a, b, None)
+                n -= 1
+            if n > 0:
+                state, mirror = _batch(state, a, b, mirror, jnp.int32(n))
             return state, mirror
 
         def run_deferred(state: SamplerState, alpha=alpha, beta=beta) -> SamplerState:
-            # back-to-back async dispatches of the jitted per-sweep impl,
-            # with the ride-along mirror carried between them (NOT one
-            # batched in-compilation loop like the XLA/fused tiers — the
-            # sweeps still pipeline on the device queue)
             state, _ = run_with_mirror(state, alpha, beta, None)
             return state
 
