@@ -774,24 +774,34 @@ def make_sweep_fn(
                 return _one_sweep(s, a, b, m)
             return lax.fori_loop(0, n, one, (state, mirror))
 
+        # cold-start snapshot: pad to the carry shape [v_pad, k_pad] so the
+        # batch is the ONLY heavy specialization (a mirror=None sweep would
+        # compile a second ~equal-size executable just for the first sweep)
+        k_pad_m = _round_up(num_topics, 128)
+
+        @jax.jit
+        def _cast_mirror(nwk):
+            v = nwk.shape[0]
+            return jnp.pad(
+                nwk, ((0, plan.v_pad - v), (0, k_pad_m - nwk.shape[1]))
+            ).astype(jnp.dtype(mirror_dtype))
+
         def run_with_mirror(state: SamplerState, alpha, beta, mirror,
                             n_sweeps=None):
             """``n_sweeps`` (default ``num_sweeps``) sweeps carrying the
             bf16 gather snapshot.
 
-            ``mirror=None`` (cold start) runs the first sweep as its own
-            dispatch — it casts the [V, K] snapshot from ``state.nwk`` and
-            emits the carried mirror — then the remaining sweeps run as one
-            in-compilation ``fori_loop`` dispatch.  Callers that own the
-            state between calls (e.g. ``models/lda.LdaModel``) pass the
-            returned mirror back in, making EVERY subsequent call a single
-            batched dispatch."""
+            ``mirror=None`` (cold start, or after a checkpoint restore)
+            casts the [V, K] snapshot from ``state.nwk`` in a tiny separate
+            dispatch; all sweeps then run as one in-compilation
+            ``fori_loop`` dispatch.  Callers that own the state between
+            calls (e.g. ``models/lda.LdaModel``) pass the returned mirror
+            back in, so every call is a single batched dispatch."""
             a = jnp.asarray(alpha, jnp.float32)
             b = jnp.asarray(beta, jnp.float32)
             n = num_sweeps if n_sweeps is None else n_sweeps
-            if mirror is None and n > 0:
-                state, mirror = _one_sweep(state, a, b, None)
-                n -= 1
+            if mirror is None:
+                mirror = _cast_mirror(state.nwk)
             if n > 0:
                 state, mirror = _batch(state, a, b, mirror, jnp.int32(n))
             return state, mirror
