@@ -751,27 +751,30 @@ def make_sweep_fn(
         # kernel can skip the hi/lo slab split (1/3 of its MXU cost)
         slab_split = max_doc_len > 256
 
-        def _one_sweep(state, a, b, mirror):
-            return _deferred_sweep_impl(
-                state, jtw, tdl, jtm, jd0, jrg, jwl, jts, a, b,
-                block_size=block_size, d_loc=d_loc, row_tile=row_tile,
-                noise_mode=noise_mode, pallas_interpret=pallas_interpret,
-                vocab_size=None, v_loc=plan.v_loc, v_pad=plan.v_pad,
-                tile=plan.tile, slab_split=slab_split, mirror=mirror,
-                compute_dtype=kernel_compute_dtype,
-                mirror_dtype=mirror_dtype,
-            )
-
         # mirror-carrying steady batch: n sweeps as ONE dispatch.  The trip
         # count is TRACED (like the XLA/fused tiers), so the runner's
         # variable chunk sizes never recompile.  One executable per sweep
         # was measured at 1-3 ms dispatch overhead each on the remote-TPU
         # platform (5-15% of a 20 ms sweep, and highly variable).
+        # Token/layout arrays are ARGUMENTS, not closure constants —
+        # closed-over device arrays get embedded in the compile payload,
+        # which overflows the remote-compile request at rung-5 shapes
+        # (observed: HTTP 413 at T=8.4M, V=140k).
         @jax.jit
-        def _batch(state, a, b, mirror, n):
+        def _batch(tw_, tdl_, tm_, d0_, rg_, wl_, ts_, state, a, b,
+                   mirror, n):
             def one(_, carry):
                 s, m = carry
-                return _one_sweep(s, a, b, m)
+                return _deferred_sweep_impl(
+                    s, tw_, tdl_, tm_, d0_, rg_, wl_, ts_, a, b,
+                    block_size=block_size, d_loc=d_loc, row_tile=row_tile,
+                    noise_mode=noise_mode,
+                    pallas_interpret=pallas_interpret,
+                    vocab_size=None, v_loc=plan.v_loc, v_pad=plan.v_pad,
+                    tile=plan.tile, slab_split=slab_split, mirror=m,
+                    compute_dtype=kernel_compute_dtype,
+                    mirror_dtype=mirror_dtype,
+                )
             return lax.fori_loop(0, n, one, (state, mirror))
 
         # cold-start snapshot: pad to the carry shape [v_pad, k_pad] so the
@@ -803,7 +806,8 @@ def make_sweep_fn(
             if mirror is None:
                 mirror = _cast_mirror(state.nwk)
             if n > 0:
-                state, mirror = _batch(state, a, b, mirror, jnp.int32(n))
+                state, mirror = _batch(jtw, tdl, jtm, jd0, jrg, jwl, jts,
+                                       state, a, b, mirror, jnp.int32(n))
             return state, mirror
 
         def run_deferred(state: SamplerState, alpha=alpha, beta=beta) -> SamplerState:
