@@ -51,6 +51,13 @@ class LdaConfig:
     use_pallas: bool | str = "deferred"
     # run Mosaic kernels under the CPU interpreter (tests / CI without a TPU)
     pallas_interpret: bool = False
+    # fused-kernel [B, K] chain dtype: float32 (default; bf16 measured ~10%
+    # slower END-TO-END despite a 1.5x standalone kernel win — BASELINE.md
+    # round-5 dead end) | bfloat16 | bf16p
+    kernel_compute_dtype: str = "float32"
+    # deferred tier's sweep-stale snapshot dtype: bfloat16 (default; halved
+    # gather HBM traffic wins in context) | float32
+    mirror_dtype: str = "bfloat16"
     draw_method: str = "gumbel"  # gumbel (fast path) | inverse_cdf (fidelity draw)
     sort_blocks: bool = True  # word-sort tokens within blocks (sorted-scatter fast path)
     count_dtype: str = "int32"

@@ -100,9 +100,14 @@ class LdaModel:
                 alpha=config.alpha, beta=config.beta, block_size=block,
                 draw_method=config.draw_method, num_sweeps=1,
                 use_pallas=use_pallas,
+                pallas_interpret=bool(getattr(config, "pallas_interpret",
+                                              False)),
                 sorted_words=self._perm is not None,
                 num_topics=config.topic_num,
                 deferred_plan=self._plan,
+                kernel_compute_dtype=getattr(
+                    config, "kernel_compute_dtype", "float32"),
+                mirror_dtype=getattr(config, "mirror_dtype", "bfloat16"),
             )
             self.kernel_tier = getattr(self._run_sweeps, "kernel_tier", "xla")
 

@@ -204,3 +204,28 @@ def test_deferred_model_roundtrip():
     nwk = np.zeros((V, K), np.int64)
     np.add.at(nwk, (fc.token_word, z), 1)
     np.testing.assert_array_equal(np.asarray(model.state.nwk).astype(np.int64), nwk)
+
+
+def test_lda_model_batched_sweeps_match_looped():
+    # the round-5 single-dispatch batch (fori_loop with traced trip count +
+    # mirror carry) must produce the SAME chain as one-sweep-at-a-time calls
+    from ldagibbssampling_tpu.config import LdaConfig
+    from ldagibbssampling_tpu.corpus.flat import FlatCorpus
+    from ldagibbssampling_tpu.models.lda import LdaModel
+
+    rng = np.random.default_rng(6)
+    ragged = [[int(x) for x in rng.integers(0, 50, size=40)]
+              for _ in range(24)]
+    fc = FlatCorpus.from_ragged(ragged, vocab_size=50)
+    cfg = LdaConfig(topic_num=6, seed=4, block_size=128,
+                    use_pallas="deferred", pallas_interpret=True)
+    a = LdaModel(cfg, fc)
+    assert a.kernel_tier == "deferred"
+    a.sweep(5)
+    b = LdaModel(cfg, fc)
+    for _ in range(5):
+        b.sweep(1)
+    np.testing.assert_array_equal(np.asarray(a.state.z), np.asarray(b.state.z))
+    np.testing.assert_array_equal(np.asarray(a.state.nwk),
+                                  np.asarray(b.state.nwk))
+    a.check_counts_consistent()
