@@ -127,8 +127,9 @@ class LdaModel:
             self.state, self._mirror = with_mirror(
                 self.state, self.alpha, self.beta, mirror, n_sweeps=n)
             return
-        for _ in range(n):
-            self.state = self._run_sweeps(self.state, self.alpha, self.beta)
+        # XLA/fused tiers: the whole batch as one dispatch (traced bound)
+        self.state = self._run_sweeps(
+            self.state, self.alpha, self.beta, n_sweeps=jnp.int32(n))
 
     def optimize_hyperparameters(self, iters: int = 5) -> tuple[float, float]:
         """Minka fixed-point update of (α, β) from the current count tables

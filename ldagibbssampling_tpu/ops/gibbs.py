@@ -874,7 +874,8 @@ def make_sweep_fn(
         slab_split = max_doc_len > 256
 
         @jax.jit
-        def run_fused(state: SamplerState, alpha=alpha, beta=beta) -> SamplerState:
+        def run_fused(state: SamplerState, alpha=alpha, beta=beta,
+                      n_sweeps=None) -> SamplerState:
             def one(_, s):
                 return fused_gibbs_sweep(
                     s, tw, tdl, tm, jd0,
@@ -883,15 +884,19 @@ def make_sweep_fn(
                     noise_mode=noise_mode, pallas_interpret=pallas_interpret,
                     slab_split=slab_split,
                 )
-            return lax.fori_loop(0, num_sweeps, one, state)
+            n = num_sweeps if n_sweeps is None else n_sweeps
+            return lax.fori_loop(0, n, one, state)
 
         run_fused.kernel_tier = "fused"
         return run_fused
 
     @jax.jit
-    def run(state: SamplerState, alpha=alpha, beta=beta) -> SamplerState:
+    def run(state: SamplerState, alpha=alpha, beta=beta,
+            n_sweeps=None) -> SamplerState:
         """``alpha``/``beta`` may be overridden per call (traced scalars, so
-        Minka hyperparameter updates never trigger a recompile)."""
+        Minka hyperparameter updates never trigger a recompile); ``n_sweeps``
+        (traced) overrides the static ``num_sweeps`` so callers can batch a
+        variable chunk into one dispatch."""
         def one(_, s):
             return gibbs_sweep(
                 s, tw, td, tm, dl,
@@ -899,7 +904,8 @@ def make_sweep_fn(
                 draw_method=draw_method, use_pallas=use_pallas,
                 pallas_interpret=pallas_interpret, sorted_words=sorted_words,
             )
-        return lax.fori_loop(0, num_sweeps, one, state)
+        n = num_sweeps if n_sweeps is None else n_sweeps
+        return lax.fori_loop(0, n, one, state)
 
     run.kernel_tier = "pallas-draw" if use_pallas else "xla"
     return run
