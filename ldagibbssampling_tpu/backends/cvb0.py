@@ -75,6 +75,23 @@ def cvb0_sweep(
     return lax.fori_loop(0, num_blocks, body, (gamma, ndk, nwk, nk))
 
 
+@functools.partial(jax.jit, static_argnames=("alpha", "beta", "block_size",
+                                             "sorted_words"))
+def cvb0_sweeps(
+    gamma, ndk, nwk, nk, token_word, token_doc, token_mask, n_sweeps,
+    *, alpha, beta, block_size, sorted_words=False,
+):
+    """``n_sweeps`` (traced) full CVB0 sweeps as ONE dispatch — per-dispatch
+    latency on remote platforms is 1-3 ms, a measurable tax on a ~15 ms
+    sweep when issued one at a time."""
+    def one(_, carry):
+        g, a, b, c = carry
+        return cvb0_sweep(g, a, b, c, token_word, token_doc, token_mask,
+                          alpha=alpha, beta=beta, block_size=block_size,
+                          sorted_words=sorted_words)
+    return lax.fori_loop(0, n_sweeps, one, (gamma, ndk, nwk, nk))
+
+
 class Cvb0Model:
     """Deterministic CVB0 backend with the common InferenceBackend surface."""
 
@@ -117,15 +134,16 @@ class Cvb0Model:
 
     # ------------------------------------------------------------------
     def sweep(self, n: int = 1) -> None:
-        for _ in range(n):
-            self.gamma, self.ndk, self.nwk, self.nk = cvb0_sweep(
-                self.gamma, self.ndk, self.nwk, self.nk,
-                self._tw, self._td, self._tm,
-                alpha=self.config.alpha, beta=self.config.beta,
-                sorted_words=self._sorted,
-                block_size=self.block_size,
-            )
-            self._sweeps += 1
+        # one batched dispatch (traced trip count — chunk sizes never
+        # recompile), matching the Gibbs tiers
+        self.gamma, self.ndk, self.nwk, self.nk = cvb0_sweeps(
+            self.gamma, self.ndk, self.nwk, self.nk,
+            self._tw, self._td, self._tm, jnp.int32(n),
+            alpha=self.config.alpha, beta=self.config.beta,
+            sorted_words=self._sorted,
+            block_size=self.block_size,
+        )
+        self._sweeps += n
 
     @property
     def sweeps_done(self) -> int:
