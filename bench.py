@@ -27,7 +27,7 @@ NUM_TOPICS = int(sys.argv[2]) if len(sys.argv) > 2 else 500
 VOCAB = int(os.environ.get("LDA_BENCH_VOCAB", 50_000))
 NUM_DOCS = int(os.environ.get("LDA_BENCH_DOCS", 4_096))
 BLOCK_SIZE = int(os.environ.get("LDA_BENCH_BLOCK", 65_536))  # measured best at K=500 (fused)
-TIMED_SWEEPS = int(os.environ.get("LDA_BENCH_SWEEPS", 20))  # 10 gives ±5% run-to-run at 0.2 s timed; 20 halves that
+TIMED_SWEEPS = int(os.environ.get("LDA_BENCH_SWEEPS", 100))  # long batches are the production steady state: 100 sweeps = 1.7 s timed, 60.6M tok/s vs 57.2M at 20 (the first dispatch of a window carries ~1 ms/sweep of fixed cost at short windows)
 # Kernel tier (LDA_BENCH_PALLAS): "0" = pure-XLA sweep, "1" = v1 draw kernel
 # (measured slower: the pallas_call boundary re-materializes the gathered
 # [B,K] tiles), "fused" = v2 fused block kernel (doc-slab + topic totals +
