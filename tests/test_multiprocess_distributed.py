@@ -338,3 +338,143 @@ def test_two_process_deferred_sweep(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert f"proc {pid} deferred sweep ok" in out
+
+
+_GRID_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("XLA_FLAGS", None)
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental import multihost_utils
+
+from ldagibbssampling_tpu.parallel.multihost import initialize_distributed
+from ldagibbssampling_tpu.parallel.grid import shard_corpus_grid
+from ldagibbssampling_tpu.corpus.flat import FlatCorpus
+from ldagibbssampling_tpu.models.state import SamplerState
+from ldagibbssampling_tpu.ops.gibbs import gibbs_sweep
+
+shard_map = jax.shard_map
+
+pid = int(sys.argv[1]); coord = sys.argv[2]
+initialize_distributed(coordinator_address=coord, num_processes=2, process_id=pid)
+assert len(jax.devices()) == 2
+
+# identical host-side corpus + grid layout in both processes (same seed)
+rng = np.random.default_rng(3)
+V, M, K, BLOCK = 60, 16, 4, 64
+ragged = [[int(x) for x in rng.integers(0, V, size=40)] for _ in range(M)]
+fc = FlatCorpus.from_ragged(ragged, vocab_size=V)
+gs = shard_corpus_grid(fc, p_data=1, p_vocab=2, block_size=BLOCK)
+PD, PV, TC = gs.token_word.shape
+MS, VS = gs.docs_per_shard, gs.vocab_per_shard
+bounds = gs.vocab_bounds
+
+z0 = rng.integers(0, K, gs.token_word.shape).astype(np.int32)
+ndk0 = np.zeros((PD, MS, K), np.int32)
+nwk0 = np.zeros((PV, VS, K), np.int32)
+for i in range(PD):
+    for j in range(PV):
+        real = gs.token_mask[i, j] > 0
+        np.add.at(ndk0[i], (gs.token_doc[i, j][real], z0[i, j][real]), 1)
+        np.add.at(nwk0[j], (gs.token_word[i, j][real], z0[i, j][real]), 1)
+nk0 = nwk0.sum(axis=(0, 1)).astype(np.int32)
+
+mesh = Mesh(np.array(jax.devices()).reshape(1, 2), ("data", "vocab"))
+
+def put(x, spec):
+    x = np.asarray(x)
+    sh = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+jtw = put(gs.token_word, P("data", "vocab"))
+jtd = put(gs.token_doc, P("data", "vocab"))
+jtm = put(gs.token_mask, P("data", "vocab"))
+jdl = put(gs.doc_lengths, P("data"))
+jz, jndk = put(z0, P("data", "vocab")), put(ndk0, P("data"))
+jnwk, jnk = put(nwk0, P("vocab")), put(nk0, P())
+key = put(np.asarray(jax.random.PRNGKey(11)), P())
+
+def local(tw, td, tm, dl, z, ndk, nwk, nk, key):
+    tw, td, tm = tw[0, 0], td[0, 0], tm[0, 0]
+    dl = dl[0]
+    i = lax.axis_index("data"); j = lax.axis_index("vocab")
+    cell_key = jax.random.fold_in(jax.random.fold_in(key, i), j + (1 << 16))
+    st = SamplerState(z=z[0, 0], ndk=ndk[0], nwk=nwk[0], nk=nk,
+                      key=cell_key, sweep=jnp.int32(0))
+    new = gibbs_sweep(st, tw, td, tm, dl, alpha=0.5, beta=0.1,
+                      block_size=64, draw_method="gumbel", vocab_size=V)
+    # the DPxTP reconciliation contract, ACROSS A REAL PROCESS BOUNDARY:
+    # slab deltas psum over 'data', doc deltas psum over 'vocab' (each
+    # doc's tokens are split across vocab columns), nk over both
+    dnwk = lax.psum(new.nwk - st.nwk, "data")
+    dndk = lax.psum(new.ndk - st.ndk, "vocab")
+    dnk = lax.psum(new.nk - st.nk, ("data", "vocab"))
+    return (new.z[None, None], (st.ndk + dndk)[None], (st.nwk + dnwk)[None],
+            st.nk + dnk)
+
+fn = jax.jit(shard_map(
+    local, mesh=mesh,
+    in_specs=(P("data", "vocab"), P("data", "vocab"), P("data", "vocab"),
+              P("data"), P("data", "vocab"), P("data"), P("vocab"), P(), P()),
+    out_specs=(P("data", "vocab"), P("data"), P("vocab"), P()),
+    check_vma=False,
+))
+jz2, jndk2, jnwk2, jnk2 = fn(jtw, jtd, jtm, jdl, jz, jndk, jnwk, jnk, key)
+
+z_all = np.asarray(multihost_utils.process_allgather(jz2, tiled=True))
+nwk_all = np.asarray(multihost_utils.process_allgather(jnwk2, tiled=True))
+ndk_ref = np.zeros((PD, MS, K), np.int64)
+nwk_ref = np.zeros((PV, VS, K), np.int64)
+for i in range(PD):
+    for j in range(PV):
+        real = gs.token_mask[i, j] > 0
+        np.add.at(ndk_ref[i], (gs.token_doc[i, j][real], z_all[i, j][real]), 1)
+        np.add.at(nwk_ref[j], (gs.token_word[i, j][real], z_all[i, j][real]), 1)
+np.testing.assert_array_equal(nwk_all, nwk_ref)
+np.testing.assert_array_equal(
+    np.asarray(jndk2.addressable_shards[0].data)[0], ndk_ref[0])
+np.testing.assert_array_equal(
+    np.asarray(jnk2.addressable_shards[0].data), nwk_ref.sum(axis=(0, 1)))
+assert (z_all != z0).any()
+print(f"proc {pid} grid sweep ok")
+"""
+
+
+@pytest.mark.timeout(240)
+def test_two_process_grid_sweep(tmp_path):
+    """The DP×TP grid reconciliation — slab Δnwk psum'd over 'data', doc
+    Δndk psum'd over 'vocab', nk over both — with the 'vocab' axis crossing
+    a REAL process boundary (1×2 mesh, one device per process), verified by
+    serial recount of the gathered global assignments."""
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (os.path.dirname(os.path.dirname(__file__)),
+                    env.get("PYTHONPATH", "")) if p
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _GRID_WORKER, str(pid), coord],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=200)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("grid two-process sweep timed out")
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"proc {pid} grid sweep ok" in out
