@@ -488,6 +488,17 @@ def _deferred_sweep_impl(
         key=state.key,
         sweep=state.sweep + 1,
     )
+    if mirror_out is None:
+        # f32-mirror ablation: no ride-along emission — build the next
+        # sweep's snapshot explicitly (the documented per-sweep cost), so
+        # the (state, mirror) carry keeps one pytree structure in batched
+        # fori_loop dispatches
+        k = state_out.nwk.shape[1]
+        k_pad = _round_up(k, 128)
+        mirror_out = jnp.pad(
+            state_out.nwk,
+            ((0, v_pad - state_out.nwk.shape[0]), (0, k_pad - k)),
+        ).astype(jnp.dtype(mirror_dtype))
     return state_out, mirror_out
 
 
@@ -779,14 +790,14 @@ def make_sweep_fn(
 
         # cold-start snapshot: pad to the carry shape [v_pad, k_pad] so the
         # batch is the ONLY heavy specialization (a mirror=None sweep would
-        # compile a second ~equal-size executable just for the first sweep)
-        k_pad_m = _round_up(num_topics, 128)
-
+        # compile a second ~equal-size executable just for the first sweep).
+        # k_pad comes from the TABLE, not the num_topics parameter — callers
+        # may leave num_topics at its default while state.nwk has the real K
         @jax.jit
         def _cast_mirror(nwk):
-            v = nwk.shape[0]
+            v, k = nwk.shape
             return jnp.pad(
-                nwk, ((0, plan.v_pad - v), (0, k_pad_m - nwk.shape[1]))
+                nwk, ((0, plan.v_pad - v), (0, _round_up(k, 128) - k))
             ).astype(jnp.dtype(mirror_dtype))
 
         def run_with_mirror(state: SamplerState, alpha, beta, mirror,
@@ -810,8 +821,10 @@ def make_sweep_fn(
                                        state, a, b, mirror, jnp.int32(n))
             return state, mirror
 
-        def run_deferred(state: SamplerState, alpha=alpha, beta=beta) -> SamplerState:
-            state, _ = run_with_mirror(state, alpha, beta, None)
+        def run_deferred(state: SamplerState, alpha=alpha, beta=beta,
+                         n_sweeps=None) -> SamplerState:
+            state, _ = run_with_mirror(state, alpha, beta, None,
+                                       n_sweeps=n_sweeps)
             return state
 
         run_deferred.kernel_tier = "deferred"

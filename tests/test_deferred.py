@@ -229,3 +229,51 @@ def test_lda_model_batched_sweeps_match_looped():
     np.testing.assert_array_equal(np.asarray(a.state.nwk),
                                   np.asarray(b.state.nwk))
     a.check_counts_consistent()
+
+
+def test_deferred_f32_mirror_batched_dispatch():
+    # regression: mirror_dtype='float32' (the documented ablation) used to
+    # break the batched fori_loop carry (mirror_out=None mid-loop)
+    from ldagibbssampling_tpu.config import LdaConfig
+    from ldagibbssampling_tpu.corpus.flat import FlatCorpus
+    from ldagibbssampling_tpu.models.lda import LdaModel
+
+    rng = np.random.default_rng(8)
+    ragged = [[int(x) for x in rng.integers(0, 40, size=30)]
+              for _ in range(16)]
+    fc = FlatCorpus.from_ragged(ragged, vocab_size=40)
+    base = dict(topic_num=6, seed=2, block_size=128, use_pallas="deferred",
+                pallas_interpret=True)
+    m32 = LdaModel(LdaConfig(**base, mirror_dtype="float32"), fc)
+    assert m32.kernel_tier == "deferred"
+    m32.sweep(4)
+    m32.check_counts_consistent()
+    # f32 mirror = exact snapshot: the chain equals the bf16 run only in
+    # distribution, but counts must stay pure functions of z either way
+    mbf = LdaModel(LdaConfig(**base), fc)
+    mbf.sweep(4)
+    mbf.check_counts_consistent()
+
+
+def test_deferred_run_fn_default_num_topics_mismatch():
+    # regression: the cold-start mirror padded K to the num_topics PARAMETER
+    # (default 512) instead of the table's actual K
+    from ldagibbssampling_tpu.models.state import init_state
+    from ldagibbssampling_tpu.ops.count_kernel import plan_deferred
+    from ldagibbssampling_tpu.ops.gibbs import make_sweep_fn
+
+    rng = np.random.default_rng(9)
+    tw = rng.integers(0, 30, 512).astype(np.int32)
+    td = np.sort(rng.integers(0, 8, 512)).astype(np.int32)
+    plan = plan_deferred(tw, td, 30, 128)
+    st = init_state(plan.token_word, plan.token_doc, plan.token_mask,
+                    num_docs=8, vocab_size=30, num_topics=6, seed=0)
+    dl = np.bincount(td, minlength=8).astype(np.int32)
+    run = make_sweep_fn(  # note: num_topics left at its default
+        plan.token_word, plan.token_doc, plan.token_mask, dl,
+        alpha=0.5, beta=0.1, block_size=128, draw_method="gumbel",
+        num_sweeps=2, use_pallas="deferred", pallas_interpret=True,
+        deferred_plan=plan)
+    assert run.kernel_tier == "deferred"
+    out = run(st)
+    assert int(out.sweep) == 2

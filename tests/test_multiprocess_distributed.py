@@ -371,7 +371,6 @@ fc = FlatCorpus.from_ragged(ragged, vocab_size=V)
 gs = shard_corpus_grid(fc, p_data=1, p_vocab=2, block_size=BLOCK)
 PD, PV, TC = gs.token_word.shape
 MS, VS = gs.docs_per_shard, gs.vocab_per_shard
-bounds = gs.vocab_bounds
 
 z0 = rng.integers(0, K, gs.token_word.shape).astype(np.int32)
 ndk0 = np.zeros((PD, MS, K), np.int32)
